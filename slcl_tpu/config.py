@@ -1,0 +1,346 @@
+"""Typed configuration tree + dataset fold tables.
+
+Replaces the reference's three overlapping config mechanisms (constants module
+``config.py``, layered argparse in the trainer tower, entry-script attribute
+mutation — see reference trainer/Trainer.py:40-116 and train_SLCL.py:12-48)
+with one dataclass tree supporting YAML + CLI ``key=value`` overrides.
+
+The cross-validation fold tables are dataset facts reproduced from reference
+config.py:39-119 (they are required for split-level parity with the paper).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Dataset constants (reference config.py:3-37)
+# ---------------------------------------------------------------------------
+NUM_CLASSES = 4          # background, MYO, LV, RV
+INPUT_SIZE = 224
+BATCH_SIZE = 16
+EVAL_BS = 32
+RANDOM_SEED = 1234
+POWER = 0.9              # poly LR exponent
+
+# MMWHS label remap: raw NIfTI values -> class ids (reference utils_.py:1002-1020)
+MMWHS_LABEL_MAP = {205: 1, 500: 2, 600: 3}
+# MS-CMRSeg PNG mask remap (reference data_generator_mscmrseg.py:343-353)
+MSCMRSEG_LABEL_MAP = {85: 1, 212: 2, 255: 3}
+# MMWHS preprocessed-PNG mask remap (reference data_generator_mmwhs.py:93)
+MMWHS_PNG_LABEL_MAP = {87: 1, 212: 2, 255: 3}
+
+# ---------------------------------------------------------------------------
+# Cross-validation fold tables (reference config.py:39-119)
+# ---------------------------------------------------------------------------
+MMWHS_TEST_FOLDS: List[List[List[int]]] = [
+    # split 0
+    [[1, 4, 6, 7, 8, 9, 10, 11, 16, 17], [2, 3, 5, 12, 13, 14, 15, 18, 19, 20]],
+    # split 1
+    [[1, 4, 6, 7, 8, 10, 14, 15, 18, 19], [2, 3, 5, 9, 11, 12, 13, 16, 17, 20]],
+    # split 2
+    [[1, 3, 8, 9, 10, 12, 15, 16, 17, 18], [2, 4, 5, 6, 7, 11, 13, 14, 19, 20]],
+    # split 3
+    [[1, 3, 5, 6, 7, 8, 9, 10, 12, 19], [2, 4, 11, 13, 14, 15, 16, 17, 18, 20]],
+    # split 4
+    [[2, 4, 6, 7, 8, 9, 10, 11, 15, 18], [1, 3, 5, 12, 13, 14, 16, 17, 19, 20]],
+    # split 5
+    [[1, 2, 4, 6, 7, 8, 11, 12, 16, 19], [3, 5, 9, 10, 13, 14, 15, 17, 18, 20]],
+    # split 6
+    [[2, 5, 6, 8, 9, 10, 13, 14, 15, 17], [1, 3, 4, 7, 11, 12, 16, 18, 19, 20]],
+    # split 7
+    [[1, 2, 3, 4, 6, 7, 12, 13, 14, 18], [5, 8, 9, 10, 11, 15, 16, 17, 19, 20]],
+    # split 8
+    [[2, 3, 5, 6, 10, 11, 12, 16, 18, 19], [1, 4, 7, 8, 9, 13, 14, 15, 17, 20]],
+    # split 9
+    [[3, 5, 7, 10, 12, 13, 14, 16, 17, 20], [1, 2, 4, 6, 8, 9, 11, 15, 18, 19]],
+    # split 10
+    [[1, 2, 3, 5, 9, 10, 14, 15, 17, 19], [4, 6, 7, 8, 11, 12, 13, 16, 18, 20]],
+    # split 11
+    [[1, 2, 3, 5, 8, 12, 13, 16, 17, 20], [4, 6, 7, 9, 10, 11, 14, 15, 18, 19]],
+    # split 12
+    [[2, 3, 4, 5, 8, 12, 13, 16, 17, 20], [1, 6, 7, 9, 10, 11, 14, 15, 18, 19]],
+    # split 13 (without sample 1)
+    [[2, 3, 4, 5, 8, 12, 13, 16, 17, 20], [6, 7, 9, 10, 11, 14, 15, 18, 19]],
+    # split 14 (all patients in both folds)
+    [list(range(1, 21)), list(range(1, 21))],
+    # split 15: 3-fold
+    [[5, 6, 8, 10, 11, 17, 18], [1, 9, 13, 14, 16, 19, 20], [2, 3, 4, 7, 12, 15]],
+]
+
+# Patient ID universes (reference config.py:112-116). CT patient files are
+# offset by +32 in the raw directory layout.
+MMWHS_CT_VALID_SET = list(range(1, 6))
+MMWHS_CT_TRAIN_SET = list(range(1, 33))
+MMWHS_MR_VALID_SET = [21, 22, 27, 30, 43]
+MMWHS_MR_TRAIN_SET = list(range(21, 47))
+MMWHS_CT_ID_OFFSET = 32
+
+MSCMRSEG_TEST_FOLDS: List[List[int]] = [
+    [23, 24, 29, 27, 34, 16, 25, 8, 22, 36, 35, 18, 30, 10, 39, 26, 41, 12, 38, 43],
+    [6, 7, 9, 11, 13, 14, 15, 17, 19, 20, 21, 28, 31, 32, 33, 37, 40, 42, 44, 45],
+]
+
+
+# ---------------------------------------------------------------------------
+# Config dataclasses
+# ---------------------------------------------------------------------------
+@dataclass
+class DataConfig:
+    """Data pipeline settings (reference DataGenerator ctor args)."""
+    dataset: str = "mmwhs"            # mmwhs | mscmrseg | synthetic
+    data_dir: str = ""
+    raw: bool = True                  # raw per-slice NIfTI vs preprocessed PNG
+    rev: bool = False                 # reverse source/target modality
+    fold: int = 0
+    split: int = 0
+    val_num: Optional[int] = None     # target fold idx override (raw pipeline)
+    crop: int = INPUT_SIZE
+    normalization: str = "minmax"     # minmax | zscore
+    percent: float = 99.0             # percentile window for minmax fallback
+    aug_s: bool = True                # augment source
+    aug_t: bool = True                # augment target
+    aug_mode: str = "simple"          # simple | heavy | heavy2
+    aug_counter: bool = False         # emit (img_t, img_t_aug) pairs (MCCL)
+    vert: bool = False                # point-cloud vertices (AdaptEvery)
+    bs: int = BATCH_SIZE
+    eval_bs: int = EVAL_BS
+    num_workers: int = 4
+    prefetch: int = 2
+    seed: int = RANDOM_SEED
+
+
+@dataclass
+class ModelConfig:
+    backbone: str = "drunet"          # drunet | unet | deeplabv2 | resnet50_unet
+    filters: int = 32
+    n_block: int = 4
+    bottleneck_depth: int = 4
+    in_channels: int = 3
+    num_classes: int = NUM_CLASSES
+    multilvl: bool = False            # auxiliary classifier head
+    phead: bool = False               # projection head on decoder features
+    pretrained: bool = False
+    dtype: str = "bfloat16"           # activation dtype on TPU
+
+
+@dataclass
+class OptimConfig:
+    optimizer: str = "sgd"            # sgd | adam
+    lr: float = 8e-4
+    lr_dis: float = 1e-4              # discriminator LR (Adam betas 0.9/0.99)
+    lr_decay_method: Optional[str] = "poly"   # poly | linear | None
+    lr_end: float = 0.0
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    power: float = POWER
+    epochs: int = 200
+    lr_eps: float = 1.0               # RAIN epsilon-ascent step scale
+
+
+@dataclass
+class AdversarialConfig:
+    """AdaptSeg/AdvEnt discriminator branch (reference Trainer_AdaptSeg/Advent)."""
+    w_dis: float = 1e-3
+    w_dis_aux: float = 2e-4
+    w_ent: float = 0.0                # direct entropy minimisation weight
+    w_prior: float = 0.0              # class-prior hinge weight
+    class_prior: Tuple[float, ...] = (0.9146, 0.0253, 0.0309, 0.0292)
+    prior_slack: float = 1.0
+
+
+@dataclass
+class ContrastiveConfig:
+    """SLCL/MPSCL/MCCL contrastive settings (reference Trainer_MPSCL.py:28-55,
+    Trainer_MCCL.py:36-87, train_SLCL.py:6-48, train_MCCL.py:35-48)."""
+    # MPSCL (margin-preserving)
+    src_temp: float = 0.1
+    src_base_temp: float = 1.0
+    trg_temp: float = 0.1
+    trg_base_temp: float = 1.0
+    src_margin: float = 0.4
+    trg_margin: float = 0.2
+    class_center_m: float = 0.9       # EMA momentum of source class centers
+    pixel_sel_th: float = 0.25        # top1-top2 cosine gap threshold
+    w_mpcl_s: float = 1.0
+    w_mpcl_t: float = 1.0
+    easy_margin: bool = False
+    init_centers: str = ""            # path to (C, F) .npy init class centers
+    # MCCL / SLCL-proper
+    clda: bool = True                 # enable centroid contrastive loss
+    tau: float = 0.1
+    ctd_mmt: float = 0.9              # centroid EMA momentum
+    inter_w: float = 1.0
+    intra: bool = True
+    intra_w: float = 0.1
+    part: int = 1                     # reversed-Monte-Carlo partitions P
+    wtd_ave: bool = False             # soft-label weighted centroids
+    thd: float = 0.0                  # confidence threshold for soft centroids
+    contrast_split: bool = False
+    bg: bool = False                  # include background row in contrastive
+    CNR: bool = False                 # centroid-norm regulariser
+    CNR_w: float = 4e-5
+    stdmin: bool = False
+    w_stdmin: float = 0.0
+    seg_pseudo: bool = False
+    warmup_epochs: int = 0
+
+
+@dataclass
+class RAINConfig:
+    """RAIN style-randomisation settings (reference model/RAIN.py, Trainer_RAIN)."""
+    enabled: bool = False
+    update_eps: bool = False
+    eps_iters: int = 5
+    consist_w: float = 2e-3
+    mulstyle: bool = False
+    mulstyle2: bool = False
+    vgg_ckpt: str = ""
+    decoder_ckpt: str = ""
+    fc_encoder_ckpt: str = ""
+    fc_decoder_ckpt: str = ""
+    # pretraining loss weights (reference Pretrainer_RAIN)
+    style_weight: float = 1.0
+    content_weight: float = 1.0
+    latent_weight: float = 1.0
+    recon_weight: float = 5.0
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh / parallelism settings (TPU-native; reference has none)."""
+    data_axis: int = -1               # -1 = all devices on the data axis
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclass
+class RunConfig:
+    """Training-run orchestration (checkpoints, eval cadence, wall clock)."""
+    out_dir: str = "runs"
+    apdx: str = ""                    # run-name fingerprint; auto-built if empty
+    seed: int = RANDOM_SEED
+    eval_frequency: int = 10
+    evalT: bool = False               # also evaluate test split each epoch
+    save_every_epochs: int = 50
+    early_stop_patience: int = 0      # 0 = disabled
+    max_duration_s: float = 24 * 3600 - 300  # reference Trainer.py:23
+    restore_from: str = ""
+    log_metrics_every: int = 1
+    klc: bool = True                  # keep-largest-connected-component postproc
+
+
+@dataclass
+class Config:
+    method: str = "baseline"  # baseline|adaptseg|advent|mpscl|mccl|slcl|rain|
+                              # adaptevery|ddfseg|bcl|pretrain_rain
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    adv: AdversarialConfig = field(default_factory=AdversarialConfig)
+    contrastive: ContrastiveConfig = field(default_factory=ContrastiveConfig)
+    rain: RAINConfig = field(default_factory=RAINConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    run: RunConfig = field(default_factory=RunConfig)
+
+    # ------------------------------------------------------------------
+    def replace(self, **updates: Any) -> "Config":
+        return dataclasses.replace(self, **updates)
+
+    def override(self, dotted: str, value: Any) -> None:
+        """Set ``a.b.c = value`` in place, with string->field-type coercion."""
+        parts = dotted.split(".")
+        obj: Any = self
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        name = parts[-1]
+        if not hasattr(obj, name):
+            raise KeyError(f"unknown config key: {dotted}")
+        cur = getattr(obj, name)
+        setattr(obj, name, _coerce(value, cur))
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "Config":
+        cfg = cls()
+        for section, payload in d.items():
+            if isinstance(payload, dict):
+                sub = getattr(cfg, section)
+                for k, v in payload.items():
+                    setattr(sub, k, _coerce(v, getattr(sub, k)))
+            else:
+                setattr(cfg, section, payload)
+        return cfg
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Config":
+        import yaml
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    @classmethod
+    def from_cli(cls, argv: Sequence[str], base: Optional["Config"] = None) -> "Config":
+        """Parse ``--config file.yaml`` plus ``section.key=value`` overrides."""
+        cfg = base if base is not None else cls()
+        args = list(argv)
+        if "--config" in args:
+            i = args.index("--config")
+            cfg = cls.from_yaml(args[i + 1])
+            del args[i:i + 2]
+        for a in args:
+            if "=" not in a:
+                raise ValueError(f"expected key=value override, got {a!r}")
+            k, v = a.split("=", 1)
+            cfg.override(k.lstrip("-"), v)
+        return cfg
+
+
+def _coerce(value: Any, current: Any) -> Any:
+    if isinstance(value, str):
+        if isinstance(current, bool):
+            return value.lower() in ("1", "true", "yes", "on")
+        if isinstance(current, int) and not isinstance(current, bool):
+            return int(value)
+        if isinstance(current, float):
+            return float(value)
+        if current is None:
+            try:
+                return int(value)
+            except ValueError:
+                try:
+                    return float(value)
+                except ValueError:
+                    return value
+    return value
+
+
+def build_apdx(cfg: Config) -> str:
+    """Run-name fingerprint encoding the hyperparameters, mirroring the
+    reference's load-bearing ``apdx`` system (reference Trainer.py:160-182)."""
+    if cfg.run.apdx:
+        return cfg.run.apdx
+    c = cfg.contrastive
+    parts = [
+        cfg.method, cfg.data.dataset,
+        f"f{cfg.data.fold}s{cfg.data.split}",
+        cfg.model.backbone,
+        f"bs{cfg.data.bs}", f"lr{cfg.optim.lr:g}",
+    ]
+    if cfg.method in ("mpscl", "slcl"):
+        parts += [f"st{c.src_temp:g}m{c.src_margin:g}",
+                  f"tt{c.trg_temp:g}m{c.trg_margin:g}", f"ccm{c.class_center_m:g}"]
+    if cfg.method in ("mccl", "slcl"):
+        parts += [f"tau{c.tau:g}", f"p{c.part}", f"mmt{c.ctd_mmt:g}",
+                  f"inter{c.inter_w:g}"]
+        if c.wtd_ave:
+            parts.append("soft")
+        if c.CNR:
+            parts.append(f"cnr{c.CNR_w:g}")
+    if cfg.model.multilvl:
+        parts.append("mlvl")
+    if cfg.model.phead:
+        parts.append("ph")
+    return ".".join(parts)
