@@ -1,0 +1,27 @@
+from .loader import Loader, zip_domains  # noqa: F401
+from .synthetic import SyntheticCardiacDataset  # noqa: F401
+
+
+def prepare_datasets(cfg):
+    """Dataset factory keyed by ``cfg.data.dataset`` (reference
+    prepare_dataset variants, SURVEY §2.6)."""
+    name = cfg.data.dataset
+    if name == "synthetic":
+        from .synthetic import SyntheticCardiacDataset as S
+        n = 8 * cfg.data.bs
+        return {
+            "train_s": S(n, cfg.data.crop, "ct", cfg.data.seed,
+                         augmentation=cfg.data.aug_s),
+            "train_t": S(n, cfg.data.crop, "mr", cfg.data.seed + 1,
+                         augmentation=cfg.data.aug_t,
+                         aug_counter=cfg.data.aug_counter),
+            "valid_t": S(2 * cfg.data.eval_bs, cfg.data.crop, "mr", cfg.data.seed + 2),
+            "test_t": S(2 * cfg.data.eval_bs, cfg.data.crop, "mr", cfg.data.seed + 3),
+        }
+    if name == "mmwhs":
+        from .mmwhs import prepare_datasets_mmwhs
+        return prepare_datasets_mmwhs(cfg)
+    if name == "mscmrseg":
+        from .mscmrseg import prepare_datasets_mscmrseg
+        return prepare_datasets_mscmrseg(cfg)
+    raise ValueError(f"unknown dataset {name!r}")

@@ -1,0 +1,69 @@
+"""Device-mesh data parallelism (TPU-native; the reference is single-GPU).
+
+Replaces "no distributed anything" in the reference (SURVEY §2.8) with the
+standard JAX SPMD recipe: a 2-D ``Mesh(('data', 'model'))``, batches sharded
+over the ``data`` axis, train state replicated, and XLA inserting the
+gradient all-reduce over ICI automatically. EMA class centroids live in the
+replicated state, and because every chip computes centroids from its local
+shard *inside* the same jitted step, the reduction that makes them identical
+across chips rides the same compiled program (no hand-written collectives
+needed at this parallelism level; the ``model`` axis is reserved for fsdp
+sharding of larger backbones).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_axis: int = 1,
+              axis_names=("data", "model")) -> Mesh:
+    devices = jax.devices()
+    n = len(devices) if n_devices is None else n_devices
+    devices = np.asarray(devices[:n]).reshape(n // model_axis, model_axis)
+    return Mesh(devices, axis_names)
+
+
+def shard_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Put numpy batch arrays on device, sharded batch-dim over 'data'."""
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape"):
+            spec = P("data", *([None] * (np.ndim(v) - 1)))
+            out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def replicate_state(state, mesh: Mesh):
+    """Fully replicate the train-state PyTree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def data_parallel_step(step_fn, mesh: Mesh):
+    """Wrap a jitted step with explicit shardings: state replicated, batch
+    data-sharded, outputs replicated. XLA inserts the psum for gradients and
+    batch-stat/centroid reductions."""
+    repl = NamedSharding(mesh, P())
+
+    def batch_sharding(batch):
+        return {k: NamedSharding(mesh, P("data", *([None] * (v.ndim - 1))))
+                for k, v in batch.items()}
+
+    def wrapped(state, batch, sched):
+        batch = {k: jax.device_put(np.asarray(v), s)
+                 for (k, v), s in zip(batch.items(),
+                                      batch_sharding(batch).values())}
+        state = jax.device_put(state, repl) if _not_committed(state) else state
+        return step_fn(state, batch, sched)
+
+    return wrapped
+
+
+def _not_committed(tree) -> bool:
+    leaf = jax.tree.leaves(tree)[0]
+    return not hasattr(leaf, "sharding")

@@ -1,0 +1,464 @@
+"""Per-method jitted train steps — the functional core.
+
+Each UDA method from the reference trainer tower becomes a builder returning
+a jitted ``step(state, batch, sched) -> (state, metrics)``:
+
+  baseline   Trainer_baseline.train_epoch   (Trainer_baseline.py:212-253)
+  adaptseg   Trainer_AdapSeg.train_epoch    (Trainer_AdaptSeg.py:128-235)
+  advent     Trainer_Advent.train_epoch     (Trainer_Advent.py:55-180)
+  mpscl      Trainer_MPSCL.train_epoch      (Trainer_MPSCL.py:82-295) — SLCL
+  mccl       Trainer_MCCL.train_epoch       (Trainer_MCCL.py:166-381) — SLCL
+
+GAN alternation runs inside one jitted step: generator gradients are taken
+w.r.t. segmentor params only (discriminator params are simply not
+differentiated — the functional equivalent of the reference's
+``requires_grad`` flipping), and discriminator gradients use
+``stop_gradient`` on the predictions. All per-batch scalars stay on device;
+the trainer reduces them once per epoch (eliminating the reference's
+per-batch ``.item()``/``.cpu()`` syncs, SURVEY §3.1).
+
+``sched`` is a small dict of traced scalars (lr, lr_dis, warm gate) so LR
+decay and warmup do not retrigger compilation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..ops import centroids as cen
+from ..ops import losses as L
+from .state import NetState, TrainState
+
+Array = jax.Array
+
+
+def _apply_seg(model, net: NetState, x, train=True):
+    """Run the segmentor, returning (SegOutput, new_batch_stats)."""
+    variables = {"params": net.params}
+    if net.batch_stats:
+        variables["batch_stats"] = net.batch_stats
+        if train:
+            out, upd = model.apply(variables, x, True, mutable=["batch_stats"])
+            return out, upd["batch_stats"]
+        return model.apply(variables, x, False), net.batch_stats
+    return model.apply(variables, x, train), net.batch_stats
+
+
+def _d_apply(disc, params, x):
+    return disc.apply({"params": params}, x)
+
+
+def _d_acc(logits, is_source: bool):
+    """Discriminator accuracy bookkeeping (Trainer_AdaptSeg.py:196-228)."""
+    p = (jax.nn.sigmoid(logits.astype(jnp.float32)) >= 0.5).astype(jnp.float32)
+    m = jnp.mean(p)
+    return m if is_source else 1.0 - m
+
+
+def _entropy_map(logits, kind: str):
+    """Discriminator input map. 'advent' = raw -p*log(p+eps)
+    (Trainer_Advent.py:86-88); 'weighted' = prob_2_entropy with log2/log2C
+    (Trainer_MPSCL.py:171-173)."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    if kind == "advent":
+        return -probs * jnp.log(probs + 1e-7)
+    return L.prob_2_entropy(probs)
+
+
+# ---------------------------------------------------------------------------
+# baseline
+# ---------------------------------------------------------------------------
+def make_baseline_step(cfg, model, txs) -> Callable:
+    aux_w = getattr(cfg.adv, "w_seg_aux", 0.1)
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
+        def loss_fn(params):
+            out, new_bs = _apply_seg(model, state.seg.replace(params=params),
+                                     batch["img_s"])
+            loss = L.loss_calc(out.pred, batch["lab_s"], jaccard=True)
+            metrics = {"seg_s": loss}
+            if out.aux is not None:
+                laux = L.loss_calc(out.aux, batch["lab_s"], jaccard=True)
+                loss = loss + aux_w * laux
+                metrics["seg_s_aux"] = laux
+            return loss, (new_bs, metrics)
+
+        grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.seg.params)
+        opt_state = state.seg.opt_state
+        opt_state.hyperparams["learning_rate"] = sched["lr"]
+        updates, new_opt = txs["seg"].update(grads, opt_state, state.seg.params)
+        params = optax.apply_updates(state.seg.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            seg=NetState(params=params, batch_stats=new_bs, opt_state=new_opt))
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# shared generator/discriminator machinery for adversarial methods
+# ---------------------------------------------------------------------------
+def _gan_step(cfg, model, disc, disc_aux, txs, gen_loss_fn):
+    """Build a jitted adversarial step from a method-specific generator loss.
+
+    ``gen_loss_fn(params, state, batch, sched)`` must return
+    ``(loss, (new_bs, aux_outs, metrics))`` where ``aux_outs`` carries the
+    (pre-detach) logits needed by the discriminator phase:
+    {'pred_s', 'pred_t', 'pred_s_aux', 'pred_t_aux', 'centroids'?}.
+    """
+    multilvl = cfg.model.multilvl
+    d_input_kind = "advent" if cfg.method in ("advent", "mpscl", "slcl") else "softmax"
+    if cfg.method in ("mpscl", "slcl"):
+        d_input_kind = "weighted"
+
+    def d_in(logits):
+        if d_input_kind == "softmax":
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return _entropy_map(logits, d_input_kind)
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
+        # ---- generator phase ----
+        grads, (new_bs, outs, metrics) = jax.grad(
+            gen_loss_fn, has_aux=True)(state.seg.params, state, batch, sched)
+        seg_opt = state.seg.opt_state
+        seg_opt.hyperparams["learning_rate"] = sched["lr"]
+        updates, new_seg_opt = txs["seg"].update(grads, seg_opt, state.seg.params)
+        seg_params = optax.apply_updates(state.seg.params, updates)
+
+        # ---- discriminator phase (detached preds, halved BCE) ----
+        pred_s = jax.lax.stop_gradient(outs["pred_s"])
+        pred_t = jax.lax.stop_gradient(outs["pred_t"])
+
+        def d_loss_fn(d_params):
+            o_s = _d_apply(disc, d_params, d_in(pred_s))
+            o_t = _d_apply(disc, d_params, d_in(pred_t))
+            loss = 0.5 * L.bce_with_logits(o_s, 1.0) + 0.5 * L.bce_with_logits(o_t, 0.0)
+            return loss, (o_s, o_t)
+
+        d_grads, (o_s, o_t) = jax.grad(d_loss_fn, has_aux=True)(state.d_main.params)
+        d_opt = state.d_main.opt_state
+        d_opt.hyperparams["learning_rate"] = sched["lr_dis"]
+        d_updates, new_d_opt = txs["d_main"].update(d_grads, d_opt, state.d_main.params)
+        d_params = optax.apply_updates(state.d_main.params, d_updates)
+        metrics.update({
+            "loss_dis": d_loss_fn(state.d_main.params)[0],
+            "dis_acc_s": _d_acc(o_s, True),
+            "dis_acc_t": _d_acc(o_t, False),
+        })
+        new_d_main = NetState(params=d_params, batch_stats=state.d_main.batch_stats,
+                              opt_state=new_d_opt)
+
+        new_d_aux = state.d_aux
+        if multilvl and state.d_aux is not None:
+            pred_s_aux = jax.lax.stop_gradient(outs["pred_s_aux"])
+            pred_t_aux = jax.lax.stop_gradient(outs["pred_t_aux"])
+
+            def d_aux_loss_fn(d_params):
+                o_s = _d_apply(disc_aux, d_params, d_in(pred_s_aux))
+                o_t = _d_apply(disc_aux, d_params, d_in(pred_t_aux))
+                loss = 0.5 * L.bce_with_logits(o_s, 1.0) + 0.5 * L.bce_with_logits(o_t, 0.0)
+                return loss, (o_s, o_t)
+
+            da_grads, (oa_s, oa_t) = jax.grad(
+                d_aux_loss_fn, has_aux=True)(state.d_aux.params)
+            da_opt = state.d_aux.opt_state
+            da_opt.hyperparams["learning_rate"] = sched["lr_dis"]
+            da_updates, new_da_opt = txs["d_aux"].update(
+                da_grads, da_opt, state.d_aux.params)
+            da_params = optax.apply_updates(state.d_aux.params, da_updates)
+            metrics.update({
+                "loss_dis_aux": d_aux_loss_fn(state.d_aux.params)[0],
+                "dis_aux_acc_s": _d_acc(oa_s, True),
+                "dis_aux_acc_t": _d_acc(oa_t, False),
+            })
+            new_d_aux = NetState(params=da_params,
+                                 batch_stats=state.d_aux.batch_stats,
+                                 opt_state=new_da_opt)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            rng=jax.random.fold_in(state.rng, 1),
+            seg=NetState(params=seg_params, batch_stats=new_bs,
+                         opt_state=new_seg_opt),
+            d_main=new_d_main, d_aux=new_d_aux,
+            centroids=outs.get("centroids", state.centroids))
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# AdaptSeg (output-space adversarial)
+# ---------------------------------------------------------------------------
+def make_adaptseg_step(cfg, model, disc, disc_aux, txs) -> Callable:
+    aux_w = 0.1  # reference w_seg_aux default
+
+    def gen_loss(params, state, batch, sched):
+        net = state.seg.replace(params=params)
+        out_s, bs1 = _apply_seg(model, net, batch["img_s"])
+        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1), batch["img_t"])
+        loss_seg = L.loss_calc(out_s.pred, batch["lab_s"], jaccard=True)
+        metrics = {"seg_s": loss_seg}
+        if cfg.model.multilvl and out_s.aux is not None:
+            laux = L.loss_calc(out_s.aux, batch["lab_s"], jaccard=True)
+            metrics["seg_s_aux"] = laux
+            loss_seg = loss_seg + aux_w * laux
+
+        d_out = _d_apply(disc, state.d_main.params,
+                         jax.nn.softmax(out_t.pred.astype(jnp.float32), -1))
+        loss_adv = L.bce_with_logits(d_out, 1.0)
+        metrics["loss_adv"] = loss_adv
+        total = loss_seg + cfg.adv.w_dis * loss_adv
+        if cfg.model.multilvl and out_t.aux is not None:
+            d_out_aux = _d_apply(disc_aux, state.d_aux.params,
+                                 jax.nn.softmax(out_t.aux.astype(jnp.float32), -1))
+            loss_adv_aux = L.bce_with_logits(d_out_aux, 1.0)
+            metrics["loss_adv_aux"] = loss_adv_aux
+            total = total + cfg.adv.w_dis_aux * loss_adv_aux
+        outs = {"pred_s": out_s.pred, "pred_t": out_t.pred,
+                "pred_s_aux": out_s.aux, "pred_t_aux": out_t.aux}
+        return total, (bs2, outs, metrics)
+
+    return _gan_step(cfg, model, disc, disc_aux, txs, gen_loss)
+
+
+# ---------------------------------------------------------------------------
+# AdvEnt (entropy-map adversarial + optional ent-min / class prior)
+# ---------------------------------------------------------------------------
+def make_advent_step(cfg, model, disc, disc_aux, txs) -> Callable:
+    aux_w = 0.1
+    prior = jnp.asarray(cfg.adv.class_prior, jnp.float32)
+
+    def gen_loss(params, state, batch, sched):
+        net = state.seg.replace(params=params)
+        out_s, bs1 = _apply_seg(model, net, batch["img_s"])
+        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1), batch["img_t"])
+        loss_seg = L.loss_calc(out_s.pred, batch["lab_s"], jaccard=True)
+        metrics = {"seg_s": loss_seg}
+        if cfg.model.multilvl and out_s.aux is not None:
+            laux = L.loss_calc(out_s.aux, batch["lab_s"], jaccard=True)
+            metrics["seg_s_aux"] = laux
+            loss_seg = loss_seg + aux_w * laux
+
+        probs_t = jax.nn.softmax(out_t.pred.astype(jnp.float32), -1)
+        ent_t = -probs_t * jnp.log(probs_t + 1e-7)
+        loss_adv = L.bce_with_logits(_d_apply(disc, state.d_main.params, ent_t), 1.0)
+        metrics["loss_adv"] = loss_adv
+        total = loss_seg + cfg.adv.w_dis * loss_adv
+        if cfg.model.multilvl and out_t.aux is not None:
+            probs_ta = jax.nn.softmax(out_t.aux.astype(jnp.float32), -1)
+            ent_ta = -probs_ta * jnp.log(probs_ta + 1e-7)
+            loss_adv_aux = L.bce_with_logits(
+                _d_apply(disc_aux, state.d_aux.params, ent_ta), 1.0)
+            metrics["loss_adv_aux"] = loss_adv_aux
+            total = total + cfg.adv.w_dis_aux * loss_adv_aux
+        if cfg.adv.w_ent:
+            # intent: entropy of the *main* target prediction
+            # (Trainer_Advent.py:107-111 reuses a clobbered variable when
+            # multilvl — repaired to main softmax)
+            loss_ent = L.loss_entropy(probs_t, 1e-7)
+            metrics["loss_ent"] = loss_ent
+            total = total + cfg.adv.w_ent * loss_ent
+        if cfg.adv.w_prior:
+            loss_prior = L.loss_class_prior(probs_t, prior, cfg.adv.prior_slack)
+            metrics["loss_prior"] = loss_prior
+            total = total + loss_prior
+        outs = {"pred_s": out_s.pred, "pred_t": out_t.pred,
+                "pred_s_aux": out_s.aux, "pred_t_aux": out_t.aux}
+        return total, (bs2, outs, metrics)
+
+    return _gan_step(cfg, model, disc, disc_aux, txs, gen_loss)
+
+
+# ---------------------------------------------------------------------------
+# MPSCL — the SLCL paper method on the margin-preserving path (train_SLCL.py)
+# ---------------------------------------------------------------------------
+def make_mpscl_step(cfg, model, disc, disc_aux, txs) -> Callable:
+    c = cfg.contrastive
+
+    def gen_loss(params, state, batch, sched):
+        net = state.seg.replace(params=params)
+        out_s, bs1 = _apply_seg(model, net, batch["img_s"])
+        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1), batch["img_t"])
+        labels_s = batch["lab_s"]
+
+        # seg loss: CE + dice (Trainer_MPSCL.py:125; aux loss disabled :128-130)
+        loss_seg = (L.loss_calc(out_s.pred, labels_s, jaccard=False)
+                    + L.dice_loss(out_s.pred, labels_s))
+        metrics = {"seg_s": loss_seg}
+
+        # EMA class centers from detached source features (:133-134)
+        new_centroids = cen.update_class_center_iter(
+            out_s.dcdr_ft, labels_s, state.centroids,
+            momentum=c.class_center_m, num_classes=cfg.model.num_classes)
+        # cosine pseudo-labels + confidence mask (:135)
+        plab_t, pmask_t = cen.generate_pseudo_label(
+            out_t.dcdr_ft, new_centroids, pixel_sel_th=c.pixel_sel_th)
+
+        centers = jax.lax.stop_gradient(new_centroids)
+        mpcl_src = L.mpcl_loss_calc(
+            out_s.dcdr_ft, labels_s, centers,
+            temperature=c.src_temp, base_temperature=c.src_base_temp,
+            margin=c.src_margin)
+        mpcl_trg = L.mpcl_loss_calc(
+            out_t.dcdr_ft, plab_t, centers,
+            temperature=c.trg_temp, base_temperature=c.trg_base_temp,
+            margin=c.trg_margin, pixel_sel_loc=pmask_t, resize_labels=False)
+        metrics["loss_mpscl_tr"] = mpcl_src
+        metrics["loss_mpscl_tg"] = mpcl_trg
+
+        # CNR: match target centroid norms to source (intended semantics; the
+        # reference's MPSCL CNR block is a broken placeholder —
+        # Trainer_MPSCL.py:150-166 calls cal_centroid with a nonexistent
+        # signature — so we use the MCCL formula, Trainer_MCCL.py:303-315)
+        loss_cnr = jnp.zeros((), jnp.float32)
+        if c.CNR and c.CNR_w > 0:
+            probs_t = jax.nn.softmax(out_t.pred.astype(jnp.float32), -1)
+            res = cen.target_soft_centroids(
+                out_t.dcdr_ft, probs_t, partition=1,
+                threshold=c.thd, weighted_ave=c.wtd_ave,
+                num_classes=cfg.model.num_classes)
+            loss_cnr = L.cnr_loss(centers, res.centroids[0])
+        metrics["loss_cnr"] = loss_cnr
+
+        # adversarial branch on weighted self-information maps (:170-191)
+        ent_t = L.prob_2_entropy(jax.nn.softmax(out_t.pred.astype(jnp.float32), -1))
+        loss_adv = L.bce_with_logits(_d_apply(disc, state.d_main.params, ent_t), 1.0)
+        metrics["loss_adv"] = loss_adv
+        total = (loss_seg + cfg.adv.w_dis * loss_adv
+                 + c.w_mpcl_s * mpcl_src + c.w_mpcl_t * mpcl_trg
+                 + c.CNR_w * loss_cnr)
+        if cfg.model.multilvl and out_t.aux is not None:
+            ent_ta = L.prob_2_entropy(jax.nn.softmax(out_t.aux.astype(jnp.float32), -1))
+            loss_adv_aux = L.bce_with_logits(
+                _d_apply(disc_aux, state.d_aux.params, ent_ta), 1.0)
+            metrics["loss_adv_aux"] = loss_adv_aux
+            total = total + cfg.adv.w_dis_aux * loss_adv_aux
+
+        outs = {"pred_s": out_s.pred, "pred_t": out_t.pred,
+                "pred_s_aux": out_s.aux, "pred_t_aux": out_t.aux,
+                "centroids": new_centroids}
+        return total, (bs2, outs, metrics)
+
+    return _gan_step(cfg, model, disc, disc_aux, txs, gen_loss)
+
+
+# ---------------------------------------------------------------------------
+# MCCL — SLCL proper: soft labels + reversed Monte Carlo + CNR
+# ---------------------------------------------------------------------------
+def make_mccl_step(cfg, model, txs) -> Callable:
+    c = cfg.contrastive
+    P = max(int(c.part), 1)
+    n_class = cfg.model.num_classes
+
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
+        rng, rng_part = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            net = state.seg.replace(params=params)
+            img_s, labels_s = batch["img_s"], batch["lab_s"]
+            img_t, img_t_aug = batch["img_t"], batch["img_t_aug"]
+            s_size, t_size = img_s.shape[0], img_t.shape[0]
+
+            # ONE forward over concat [src, trg, trg_aug] (Trainer_MCCL.py:246)
+            x = jnp.concatenate([img_s, img_t, img_t_aug], axis=0)
+            out, new_bs = _apply_seg(model, net, x)
+            pred_s = out.pred[:s_size]
+            pred_t_all = out.pred[s_size:]
+            dcdr_s = out.dcdr_ft[:s_size]
+            dcdr_t = out.dcdr_ft[s_size:s_size + t_size]
+            dcdr_t_aug = out.dcdr_ft[s_size + t_size:]
+
+            loss_seg = L.loss_calc(pred_s, labels_s, jaccard=True)
+            metrics = {"seg_s": loss_seg}
+            total = loss_seg
+
+            probs_t_all = jax.nn.softmax(pred_t_all.astype(jnp.float32), -1)
+            probs_t, probs_t_aug = probs_t_all[:t_size], probs_t_all[t_size:]
+            if c.seg_pseudo:
+                lp = L.seg_pseudo_loss(probs_t, c.thd, n_class)
+                metrics["loss_pseudo"] = lp
+                total = total + 0.5 * lp
+
+            # source centroids, EMA across steps (Trainer_MCCL.py:275-277)
+            centroid_s = cen.source_centroids(
+                dcdr_s, labels_s, num_classes=n_class,
+                previous=state.centroids, momentum=c.ctd_mmt)
+            centroid_s = jax.lax.stop_gradient(centroid_s)
+
+            # rMC soft target centroids (:281-295, repaired partitioning)
+            res_t = cen.target_soft_centroids(
+                dcdr_t, probs_t, partition=P, rng=rng_part,
+                threshold=c.thd, weighted_ave=c.wtd_ave, num_classes=n_class)
+            res_ta = cen.target_soft_centroids(
+                dcdr_t_aug, probs_t_aug, partition=1,
+                threshold=c.thd, weighted_ave=c.wtd_ave, num_classes=n_class)
+            centroid_t_aug = res_ta.centroids[0]
+            metrics["ratio_t"] = res_t.ratio
+            metrics["ratio_t_aug"] = res_ta.ratio
+
+            # CNR (:303-315) + inter/intra contrastive (:317-332), averaged
+            # over the P partitions
+            cnr = jnp.zeros((), jnp.float32)
+            inter = jnp.zeros((), jnp.float32)
+            intra = jnp.zeros((), jnp.float32)
+            for p in range(P):
+                cent_p = res_t.centroids[p]
+                cnr = cnr + L.cnr_loss(centroid_s, cent_p) / P
+                inter = inter + L.centroid_contrastive_loss(
+                    centroid_s, cent_p, bg=c.bg, split=c.contrast_split) / P
+                intra = intra + L.centroid_contrastive_loss(
+                    cent_p, centroid_t_aug, bg=c.bg, split=c.contrast_split) / P
+            metrics["CNR"] = cnr
+            metrics["inter_c_loss"] = inter
+            metrics["intra_c_loss"] = intra
+
+            contrast = c.inter_w * inter + (c.intra_w * intra if c.intra else 0.0)
+            warm = sched["warm"]  # 1.0 after warmup_epochs (:340-347)
+            if c.clda:
+                total = total + warm * contrast
+            if c.CNR:
+                total = total + warm * c.CNR_w * cnr
+            if c.stdmin:
+                total = total + warm * c.w_stdmin * jnp.sum(res_t.stddevs)
+            return total, (new_bs, centroid_s, metrics)
+
+        grads, (new_bs, centroid_s, metrics) = jax.grad(
+            loss_fn, has_aux=True)(state.seg.params)
+        opt_state = state.seg.opt_state
+        opt_state.hyperparams["learning_rate"] = sched["lr"]
+        updates, new_opt = txs["seg"].update(grads, opt_state, state.seg.params)
+        params = optax.apply_updates(state.seg.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, rng=rng,
+            seg=NetState(params=params, batch_stats=new_bs, opt_state=new_opt),
+            centroids=centroid_s)
+        return new_state, metrics
+
+    return step
+
+
+# ---------------------------------------------------------------------------
+# factory
+# ---------------------------------------------------------------------------
+def build_step(cfg, model, txs, disc=None, disc_aux=None) -> Callable:
+    m = cfg.method
+    if m == "baseline":
+        return make_baseline_step(cfg, model, txs)
+    if m == "adaptseg":
+        return make_adaptseg_step(cfg, model, disc, disc_aux, txs)
+    if m == "advent":
+        return make_advent_step(cfg, model, disc, disc_aux, txs)
+    if m in ("mpscl", "slcl"):
+        return make_mpscl_step(cfg, model, disc, disc_aux, txs)
+    if m == "mccl":
+        return make_mccl_step(cfg, model, txs)
+    raise ValueError(f"unknown method {m!r}")

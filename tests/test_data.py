@@ -1,0 +1,128 @@
+"""Data layer: NIfTI roundtrip, decode parity, fold logic, pipelines."""
+import numpy as np
+import pytest
+
+from slcl_tpu.data import nifti, transforms as T
+from slcl_tpu.data.mmwhs import MMWHSRawDataset, patient_lists
+from slcl_tpu.data.loader import Loader, zip_domains
+from slcl_tpu.data.synthetic import SyntheticCardiacDataset
+
+
+def test_nifti_roundtrip(tmp_path, rng):
+    for dtype in (np.int16, np.float32, np.uint8):
+        arr = (rng.normal(size=(3, 40, 50)) * 100).astype(dtype)
+        path = tmp_path / f"x_{np.dtype(dtype).name}.nii"
+        nifti.write_nii(path, arr, spacing=(2.0, 1.5, 1.0))
+        back, spacing = nifti.read_nii(path)
+        np.testing.assert_array_equal(back, arr)
+        assert spacing == (2.0, 1.5, 1.0)
+
+
+def test_nifti_gzip_roundtrip(tmp_path, rng):
+    arr = rng.integers(0, 1000, size=(1, 64, 64)).astype(np.int16)
+    path = tmp_path / "x.nii.gz"
+    nifti.write_nii(path, arr)
+    back, _ = nifti.read_nii(path)
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_load_raw_data_mmwhs_crop_pad_remap(tmp_path, rng):
+    """Decode parity with utils_.py:1002-1020: rows 8:-8 cropped, 2 rows
+    padded top/bottom with img.min(), labels remapped {205,500,600}->{1,2,3}."""
+    H, W = 96, 80
+    img = rng.normal(size=(H, W, 1)).astype(np.float32) * 100
+    lab = np.zeros((H, W, 1), np.int16)
+    lab[20:30, 20:30] = 205
+    lab[40:50, 20:30] = 500
+    lab[60:70, 20:30] = 600
+    nifti.write_nii(tmp_path / "img1_slice0.nii", img)
+    nifti.write_nii(tmp_path / "lab1_label_slice0.nii", lab)
+    out_img, out_mask = T.load_raw_data_mmwhs(
+        tmp_path / "img1_slice0.nii", tmp_path / "lab1_label_slice0.nii")
+    # axis-1 cropped 8:-8, axis-0 padded 2 top/bottom (utils_.py:1010-1015)
+    assert out_img.shape == (H + 4, W - 16)
+    assert out_img[0].min() == out_img[0].max() == img.min()
+    assert set(np.unique(out_mask)) <= {0, 1, 2, 3}
+    np.testing.assert_allclose(out_img[2], img[0, 8:-8, 0])
+    assert out_mask.shape == (H + 4, W - 16)
+
+
+def test_patient_lists_fold_logic():
+    """Fold resolution parity (data_generator_mmwhs_raw.py:64-94): CT ids
+    offset +32, source train = base set + extra fold patients."""
+    s = patient_lists("ct", "s", fold=0, split=0)
+    assert set(range(1, 33)) <= set(s)
+    assert 1 + 32 in s and 17 + 32 in s          # MMWHS_TEST_FOLD1 + 32
+    t = patient_lists("mr", "test", fold=1, split=0)
+    assert t == sorted([2, 3, 5, 12, 13, 14, 15, 18, 19, 20])
+    ct_test = patient_lists("ct", "test", fold=0, split=0)
+    assert ct_test == sorted([p + 32 for p in [1, 4, 6, 7, 8, 9, 10, 11, 16, 17]])
+
+
+def _make_raw_tree(tmp_path, rng, pats=(1, 2), n_slices=3, mod="MR"):
+    (tmp_path / f"{mod}_woGT").mkdir(parents=True, exist_ok=True)
+    (tmp_path / f"{mod}_withGT").mkdir(parents=True, exist_ok=True)
+    for p in pats:
+        for s in range(n_slices):
+            img = (rng.normal(size=(64, 64, 1)) * 200).astype(np.float32)
+            lab = np.zeros((64, 64, 1), np.int16)
+            lab[20:40, 20:40] = 205
+            nifti.write_nii(tmp_path / f"{mod}_woGT" / f"img{p}_slice{s}.nii", img)
+            nifti.write_nii(tmp_path / f"{mod}_withGT" / f"img{p}_slice{s}.nii", img)
+            nifti.write_nii(tmp_path / f"{mod}_withGT" / f"lab{p}_label_slice{s}.nii", lab)
+
+
+def test_mmwhs_raw_dataset_end_to_end(tmp_path, rng):
+    _make_raw_tree(tmp_path, rng, pats=(21, 22), n_slices=2, mod="MR")
+    ds = MMWHSRawDataset(str(tmp_path), "mr", domain="s", fold=0, split=0,
+                         crop=64, normalization="minmax", augmentation=True)
+    assert len(ds) == 4
+    img, mask, name = ds[0]
+    assert img.shape == (64, 64, 3) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert mask.shape == (64, 64)
+
+
+def test_mmwhs_minmax_csv_generation(tmp_path, rng):
+    _make_raw_tree(tmp_path, rng, pats=(21,), n_slices=2, mod="MR")
+    from slcl_tpu.data.preprocess import generate_minmax_csv
+    out = generate_minmax_csv(str(tmp_path), "MR", 99.0)
+    import pandas as pd
+    df = pd.read_csv(out, index_col=0)
+    assert "img21" in df.index and "min99" in df.columns
+    ds = MMWHSRawDataset(str(tmp_path), "mr", domain="s", fold=0, split=0,
+                         crop=64)
+    assert ds._mnmx is not None
+    img, _, _ = ds[0]
+    assert img.max() <= 1.0
+
+
+def test_loader_zip_semantics(rng):
+    a = SyntheticCardiacDataset(10, 32, "ct")
+    b = SyntheticCardiacDataset(6, 32, "mr", aug_counter=True)
+    la = Loader(a, 2, seed=0, num_threads=1)
+    lb = Loader(b, 2, seed=1, num_threads=1)
+    batches = list(zip_domains(la, lb, aug_counter=True))
+    assert len(batches) == 3  # min(5, 3) batches (reference zip semantics)
+    for batch in batches:
+        assert batch["img_s"].shape == (2, 32, 32, 3)
+        assert batch["img_t_aug"].shape == (2, 32, 32, 3)
+
+
+def test_loader_shuffles_per_epoch():
+    ds = SyntheticCardiacDataset(16, 16, "ct")
+    ld = Loader(ds, 4, seed=0, num_threads=1)
+    names1 = [n for b in ld for n in b[2]]
+    names2 = [n for b in ld for n in b[2]]
+    assert set(names1) == set(names2)
+    assert names1 != names2
+
+
+def test_augmentations_preserve_contract(rng):
+    img = rng.random((64, 64)).astype(np.float32)
+    mask = rng.integers(0, 4, (64, 64)).astype(np.uint8)
+    for fn in (T.simple_aug, T.heavy_aug):
+        a_img, a_mask = fn(img, mask, np.random.default_rng(0))
+        assert a_img.shape == (64, 64)
+        assert a_mask.shape == (64, 64)
+        assert set(np.unique(a_mask)) <= {0, 1, 2, 3}
