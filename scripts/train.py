@@ -43,6 +43,16 @@ def apply_recipe(cfg: Config) -> Config:
         cfg.contrastive.CNR_w = 4e-5
         cfg.contrastive.part = 2
         cfg.optim.lr = 8e-4
+    elif m == "rain":
+        cfg.rain.enabled = True
+    elif m == "adaptevery":
+        cfg.data.vert = True
+        cfg.model.multilvl = True
+        cfg.model.backbone = "resnet50"
+    elif m == "ddfseg":
+        cfg.optim.optimizer = "adam"
+        cfg.optim.lr = 2e-4
+        cfg.optim.lr_dis = 2e-4
     elif m == "mccl":
         cfg.contrastive.clda = True
         cfg.contrastive.wtd_ave = True
@@ -59,6 +69,13 @@ def apply_recipe(cfg: Config) -> Config:
 
 
 def main(argv):
+    if any(a in ("--help", "-h", "help") for a in argv):
+        print(__doc__)
+        print("methods: baseline adaptseg advent mpscl slcl mccl rain "
+              "pretrain_rain adaptevery ddfseg bcl")
+        print("overrides: section.key=value over slcl_tpu.config.Config "
+              "(e.g. optim.lr=8e-4 data.fold=1 model.backbone=drunet)")
+        return {}
     # recipe defaults are applied first, then CLI overrides win
     method = next((a.split("=", 1)[1] for a in argv if a.startswith("method=")),
                   "baseline")
@@ -73,7 +90,10 @@ def main(argv):
     from slcl_tpu.train.trainer import Trainer
     trainer = Trainer(cfg)
     summary = trainer.train()
-    print("best val dice:", summary["best_val_dice"])
+    if "best_val_dice" in summary:
+        print("best val dice:", summary["best_val_dice"])
+    else:
+        print("best score:", summary.get("best_score"))
     return summary
 
 

@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""Entry shim for the DDFSeg recipe (reference train_DDFSeg.py equivalent).
+
+Equivalent to: python scripts/train.py method=ddfseg [overrides...]
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from train import main  # noqa: E402
+
+if __name__ == "__main__":
+    main(["method=ddfseg"] + sys.argv[1:])

@@ -1,0 +1,13 @@
+#!/usr/bin/env python
+"""Entry shim for the MPSCL recipe (reference train_MPSCL.py equivalent).
+
+Equivalent to: python scripts/train.py method=mpscl [overrides...]
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+from train import main  # noqa: E402
+
+if __name__ == "__main__":
+    main(["method=mpscl"] + sys.argv[1:])

@@ -120,6 +120,7 @@ class ModelConfig:
     in_channels: int = 3
     num_classes: int = NUM_CLASSES
     multilvl: bool = False            # auxiliary classifier head
+    layers: Tuple[int, ...] = ()      # ResNet stage depths override (tests)
     phead: bool = False               # projection head on decoder features
     pretrained: bool = False
     dtype: str = "bfloat16"           # activation dtype on TPU
@@ -229,6 +230,10 @@ class RunConfig:
     restore_from: str = ""
     log_metrics_every: int = 1
     klc: bool = True                  # keep-largest-connected-component postproc
+    # BCL self-training rounds (reference Trainer_BCL: per-round pseudo-label
+    # regeneration with class-balanced thresholds, LR halved per round)
+    bcl_round_epochs: int = 10
+    bcl_prop: float = 0.5
 
 
 @dataclass
@@ -300,6 +305,20 @@ class Config:
 
 def _coerce(value: Any, current: Any) -> Any:
     if isinstance(value, str):
+        if isinstance(current, (tuple, list)):
+            body = value.strip().strip("()[]")
+            if not body:
+                return type(current)()
+            items = [p.strip() for p in body.split(",") if p.strip()]
+            def conv(s):
+                try:
+                    return int(s)
+                except ValueError:
+                    try:
+                        return float(s)
+                    except ValueError:
+                        return s
+            return type(current)(conv(p) for p in items)
         if isinstance(current, bool):
             return value.lower() in ("1", "true", "yes", "on")
         if isinstance(current, int) and not isinstance(current, bool):

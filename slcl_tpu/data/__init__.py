@@ -11,7 +11,7 @@ def prepare_datasets(cfg):
         n = 8 * cfg.data.bs
         return {
             "train_s": S(n, cfg.data.crop, "ct", cfg.data.seed,
-                         augmentation=cfg.data.aug_s),
+                         augmentation=cfg.data.aug_s, vert=cfg.data.vert),
             "train_t": S(n, cfg.data.crop, "mr", cfg.data.seed + 1,
                          augmentation=cfg.data.aug_t,
                          aug_counter=cfg.data.aug_counter),

@@ -95,12 +95,16 @@ def zip_domains(content_loader: Loader, style_loader: Loader,
     (Trainer_MPSCL.py:114-118, Trainer_MCCL.py:183-188).
     """
     for bc, bs in zip(content_loader, style_loader):
-        batch = {"img_s": bc[0], "lab_s": bc[1], "names_s": bc[2]}
+        if len(bc) == 4:  # vert=True source (AdaptEvery)
+            batch = {"img_s": bc[0], "lab_s": bc[1], "vert_s": bc[2],
+                     "names_s": bc[3]}
+        else:
+            batch = {"img_s": bc[0], "lab_s": bc[1], "names_s": bc[2]}
         if aug_counter:
             batch["img_t"] = bs[0]
             batch["img_t_aug"] = bs[1]
         else:
             batch["img_t"] = bs[0]
             batch["lab_t"] = bs[1]
-        batch["names_t"] = bs[2]
+        batch["names_t"] = bs[-1]
         yield batch

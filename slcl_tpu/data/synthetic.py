@@ -21,13 +21,16 @@ class SyntheticCardiacDataset:
 
     def __init__(self, n_slices: int = 64, crop: int = 224, domain: str = "ct",
                  seed: int = 1234, augmentation: bool = False,
-                 aug_counter: bool = False):
+                 aug_counter: bool = False, vert: bool = False,
+                 n_points: int = 300):
         self.n = n_slices
         self.crop = crop
         self.domain = domain
         self.seed = seed
         self.aug = augmentation
         self.aug_counter = aug_counter
+        self.vert = vert
+        self.n_points = n_points
 
     def __len__(self):
         return self.n
@@ -96,4 +99,17 @@ class SyntheticCardiacDataset:
             img_b, _ = self._augment(self._image(mask, rng), mask, rng)
             img3_b = np.stack([img_b] * 3, axis=-1).astype(np.float32)
             return img3, img3_b, name
+        if self.vert:
+            return img3, mask.astype(np.int64), self._vertices(mask, rng), name
         return img3, mask.astype(np.int64), name
+
+    def _vertices(self, mask: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+        """Point cloud from foreground boundary pixels (AdaptEvery's vert
+        data: (n_points, 3) = normalized (row, col, class))."""
+        ys, xs = np.nonzero(mask > 0)
+        if ys.size == 0:
+            return np.zeros((self.n_points, 3), np.float32)
+        sel = rng.integers(0, ys.size, self.n_points)
+        pts = np.stack([ys[sel] / self.crop, xs[sel] / self.crop,
+                        mask[ys[sel], xs[sel]] / 3.0], axis=1)
+        return pts.astype(np.float32)

@@ -74,6 +74,80 @@ class _ASPP(nn.Module):
         return out
 
 
+class _ASPPWithFeature(nn.Module):
+    """ASPP that also returns the concatenated branch activations — the
+    76-ch 'feature' space BCL's prototypes live in (reference
+    BCL_DeeplabV2.py:86-97)."""
+    num_classes: int
+    dilations: Sequence[int] = (6, 12, 18, 24)
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        out, feats = None, []
+        for i, d in enumerate(self.dilations):
+            y = nn.Conv(self.num_classes, (3, 3), padding=[(d, d), (d, d)],
+                        kernel_dilation=(d, d), use_bias=True,
+                        kernel_init=_INIT, dtype=self.dtype,
+                        name=f"aspp{i}")(x)
+            feats.append(y)
+            out = y if out is None else out + y
+        return out, jnp.concatenate(feats, axis=-1)
+
+
+class BCLDeepLab(nn.Module):
+    """ResNetPair5 equivalent (reference model/BCL_DeeplabV2.py:100-177):
+    dilated ResNet-101 + single feature-returning ASPP head; forward returns
+    ``(upsampled logits, pre-classifier ASPP features)``. The ``pair``
+    variant (ResNetPair5_withT, :180-253) adds a separate target-domain stem
+    (conv1/bn1/layer1) selected by ``source``."""
+    num_classes: int = 19
+    layers: Sequence[int] = (3, 4, 23, 3)
+    pair: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, source: bool = True):
+        in_size = x.shape[1:3]
+        x = x.astype(self.dtype)
+
+        def stem(x, prefix):
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, kernel_init=_INIT, dtype=self.dtype,
+                        name=f"{prefix}conv1")(x)
+            x = FrozenBatchNorm(dtype=self.dtype, name=f"{prefix}bn1")(x, train)
+            x = nn.relu(x)
+            x = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)),
+                        constant_values=-jnp.inf)
+            return nn.max_pool(x, (3, 3), (2, 2), "VALID")
+
+        def stage(x, planes, blocks, stride, dilation, name):
+            x = _Bottleneck(planes, stride=stride, dilation=dilation,
+                            downsample=True, dtype=self.dtype,
+                            name=f"{name}_0")(x, train)
+            for i in range(1, blocks):
+                x = _Bottleneck(planes, dilation=dilation, dtype=self.dtype,
+                                name=f"{name}_{i}")(x, train)
+            return x
+
+        # ``source`` is static; both stems must exist in the param tree, so
+        # the unused one is still traced at init time
+        x_src = x_tgt = None
+        if (not self.pair) or source or self.is_initializing():
+            x_src = stage(stem(x, ""), 64, self.layers[0], 1, 1, "layer1")
+        if self.pair and ((not source) or self.is_initializing()):
+            x_tgt = stage(stem(x, "target_"), 64, self.layers[0], 1, 1,
+                          "target_layer1")
+        x = x_src if ((not self.pair) or source) else x_tgt
+        x = stage(x, 128, self.layers[1], 2, 1, "layer2")
+        x = stage(x, 256, self.layers[2], 1, 2, "layer3")
+        x = stage(x, 512, self.layers[3], 1, 4, "layer4")
+        pred, feature = _ASPPWithFeature(self.num_classes, dtype=self.dtype,
+                                         name="layer5")(x)
+        pred = upsample_bilinear(pred, in_size)
+        return pred, feature
+
+
 class DeepLabV2(nn.Module):
     num_classes: int = 4
     layers: Sequence[int] = (3, 4, 23, 3)   # ResNet-101

@@ -160,3 +160,35 @@ class ResNetUNet(nn.Module):
                               dtype=self.dtype, name="phead2")(h)
 
         return SegOutput(pred=pred, aux=aux, dcdr_ft=dcdr_ft, bottleneck=l4)
+
+
+class ResNetUNetPoint(nn.Module):
+    """AdaptEvery's segmentor: ResNet-UNet + a point-cloud regression head.
+
+    The reference wraps ``segmentation_model_point`` (reference
+    model/segmentation_models.py:71-93, a Kaggle-stubbed smp variant whose
+    intent — per Trainer_AdaptEvery.py:229-257 — is a third output
+    ``pred_vert (N, n_points, 3)`` regressing the label point cloud,
+    trained with Chamfer loss and discriminated by PointNetCls). Here the
+    point head is a small conv+pool+dense stack on the encoder bottleneck.
+    """
+    num_classes: int = 4
+    n_points: int = 300
+    multilvl: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        out = ResNetUNet(num_classes=self.num_classes, multilvl=self.multilvl,
+                         dtype=self.dtype, name="unet")(x, train)
+        h = nn.Conv(256, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+                    kernel_init=_INIT, dtype=self.dtype,
+                    name="point_conv")(out.bottleneck)
+        h = nn.relu(h)
+        h = jnp.mean(h, axis=(1, 2))                      # global average pool
+        h = nn.relu(nn.Dense(512, kernel_init=_INIT, dtype=self.dtype,
+                             name="point_fc1")(h))
+        v = nn.Dense(self.n_points * 3, kernel_init=_INIT, dtype=self.dtype,
+                     name="point_fc2")(h)
+        vert = v.reshape(-1, self.n_points, 3)
+        return out, vert

@@ -58,6 +58,18 @@ def jaccard_loss(logits: Array, labels: Array, eps: float = _EPS) -> Array:
     return 1.0 - jnp.mean(intersection / (union + eps))
 
 
+def cross_entropy_ignore(logits: Array, labels: Array,
+                         ignore_index: int = 255) -> Array:
+    """Mean CE over pixels whose label != ignore_index (BCL pseudo-label CE,
+    reference Trainer_BCL.py:222-275 / torch ignore_index semantics)."""
+    logits = _f32(logits)
+    valid = (labels != ignore_index).astype(jnp.float32)
+    safe = jnp.where(labels == ignore_index, 0, labels).astype(jnp.int32)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
 def loss_calc(logits: Array, labels: Array, jaccard: bool = False) -> Array:
     """CE (+ optional Jaccard): the universal seg loss (reference loss.py:47-66)."""
     loss = cross_entropy_loss(logits, labels)

@@ -353,33 +353,71 @@ def make_mpscl_step(cfg, model, disc, disc_aux, txs) -> Callable:
 # ---------------------------------------------------------------------------
 # MCCL — SLCL proper: soft labels + reversed Monte Carlo + CNR
 # ---------------------------------------------------------------------------
-def make_mccl_step(cfg, model, txs) -> Callable:
+def make_mccl_step(cfg, model, txs, rain_model=None) -> Callable:
     c = cfg.contrastive
     P = max(int(c.part), 1)
     n_class = cfg.model.num_classes
+    use_rain = cfg.rain.enabled and rain_model is not None
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
-        rng, rng_part = jax.random.split(state.rng)
+        rng, rng_part, rng_noise = jax.random.split(state.rng, 3)
 
-        def loss_fn(params):
+        if use_rain:
+            # RAIN stylization (Trainer_MCCL.py:196-216): content img_s[0:1],
+            # style img_t[0:1]; sampling carried for the epsilon ascent
+            rain_params = state.extra["rain"]
+            _, fresh = rain_model.apply(
+                {"params": rain_params}, batch["img_s"][0:1],
+                batch["img_t"][0:1], None, method="style_transfer",
+                rngs={"noise": rng_noise})
+            sampling0 = jnp.where(sched["fresh"] > 0, fresh, state.sampling)
+        else:
+            sampling0 = state.sampling
+
+        def loss_fn(params, sampling):
             net = state.seg.replace(params=params)
             img_s, labels_s = batch["img_s"], batch["lab_s"]
             img_t, img_t_aug = batch["img_t"], batch["img_t_aug"]
             s_size, t_size = img_s.shape[0], img_t.shape[0]
 
-            # ONE forward over concat [src, trg, trg_aug] (Trainer_MCCL.py:246)
-            x = jnp.concatenate([img_s, img_t, img_t_aug], axis=0)
+            style_size = 0
+            if use_rain:
+                from .steps_rain import stylized_to_gray3
+                img_style, _ = rain_model.apply(
+                    {"params": state.extra["rain"]}, img_s[0:1], img_t[0:1],
+                    sampling, method="style_transfer",
+                    rngs={"noise": rng_noise})
+                img_style = stylized_to_gray3(img_style)
+                style_size = img_style.shape[0]
+                x = jnp.concatenate([img_style, img_s, img_t, img_t_aug], axis=0)
+            else:
+                # ONE forward over concat [src, trg, trg_aug] (:246)
+                x = jnp.concatenate([img_s, img_t, img_t_aug], axis=0)
             out, new_bs = _apply_seg(model, net, x)
-            pred_s = out.pred[:s_size]
-            pred_t_all = out.pred[s_size:]
-            dcdr_s = out.dcdr_ft[:s_size]
-            dcdr_t = out.dcdr_ft[s_size:s_size + t_size]
-            dcdr_t_aug = out.dcdr_ft[s_size + t_size:]
+            seg_sz = style_size + s_size
+            pred_s = out.pred[style_size:seg_sz]
+            pred_t_all = out.pred[seg_sz:]
+            dcdr_s = out.dcdr_ft[style_size:seg_sz]
+            dcdr_t = out.dcdr_ft[seg_sz:seg_sz + t_size]
+            dcdr_t_aug = out.dcdr_ft[seg_sz + t_size:]
 
             loss_seg = L.loss_calc(pred_s, labels_s, jaccard=True)
             metrics = {"seg_s": loss_seg}
             total = loss_seg
+            seg_only = loss_seg
+            if use_rain:
+                # style seg loss + bottleneck consistency (:221-244)
+                loss_style = L.loss_calc(out.pred[:style_size],
+                                         labels_s[:style_size], jaccard=True)
+                b_style = out.bottleneck[:style_size]
+                b_s = out.bottleneck[style_size:2 * style_size]
+                loss_consist = jnp.mean((b_s.astype(jnp.float32)
+                                         - b_style.astype(jnp.float32)) ** 2)
+                metrics["seg_style"] = loss_style
+                metrics["loss_consist"] = loss_consist
+                total = total + loss_style + cfg.rain.consist_w * loss_consist
+                seg_only = seg_only + loss_style
 
             probs_t_all = jax.nn.softmax(pred_t_all.astype(jnp.float32), -1)
             probs_t, probs_t_aug = probs_t_all[:t_size], probs_t_all[t_size:]
@@ -429,18 +467,30 @@ def make_mccl_step(cfg, model, txs) -> Callable:
                 total = total + warm * c.CNR_w * cnr
             if c.stdmin:
                 total = total + warm * c.w_stdmin * jnp.sum(res_t.stddevs)
-            return total, (new_bs, centroid_s, metrics)
+            return total, (new_bs, centroid_s, metrics, seg_only)
 
-        grads, (new_bs, centroid_s, metrics) = jax.grad(
-            loss_fn, has_aux=True)(state.seg.params)
+        grads, (new_bs, centroid_s, metrics, _) = jax.grad(
+            loss_fn, has_aux=True)(state.seg.params, sampling0)
         opt_state = state.seg.opt_state
         opt_state.hyperparams["learning_rate"] = sched["lr"]
         updates, new_opt = txs["seg"].update(grads, opt_state, state.seg.params)
         params = optax.apply_updates(state.seg.params, updates)
+
+        new_sampling = state.sampling
+        if use_rain:
+            # epsilon ascent on the seg loss only (Trainer_MCCL.py:233-243,
+            # 349-351): sampling += (lr_eps / loss_seg) * d(loss_seg)/d(sampling)
+            seg_fn = lambda s: loss_fn(state.seg.params, s)[1][3]
+            seg_val, g_samp = jax.value_and_grad(seg_fn)(sampling0)
+            new_sampling = jnp.where(
+                sched["eps_on"] > 0,
+                sampling0 + (cfg.optim.lr_eps / seg_val) * g_samp,
+                sampling0)
+
         new_state = state.replace(
             step=state.step + 1, rng=rng,
             seg=NetState(params=params, batch_stats=new_bs, opt_state=new_opt),
-            centroids=centroid_s)
+            centroids=centroid_s, sampling=new_sampling)
         return new_state, metrics
 
     return step
@@ -449,7 +499,8 @@ def make_mccl_step(cfg, model, txs) -> Callable:
 # ---------------------------------------------------------------------------
 # factory
 # ---------------------------------------------------------------------------
-def build_step(cfg, model, txs, disc=None, disc_aux=None) -> Callable:
+def build_step(cfg, model, txs, disc=None, disc_aux=None,
+               rain_model=None) -> Callable:
     m = cfg.method
     if m == "baseline":
         return make_baseline_step(cfg, model, txs)
@@ -460,5 +511,11 @@ def build_step(cfg, model, txs, disc=None, disc_aux=None) -> Callable:
     if m in ("mpscl", "slcl"):
         return make_mpscl_step(cfg, model, disc, disc_aux, txs)
     if m == "mccl":
-        return make_mccl_step(cfg, model, txs)
+        return make_mccl_step(cfg, model, txs, rain_model=rain_model)
+    if m == "rain":
+        from .steps_rain import make_rain_seg_step
+        return make_rain_seg_step(cfg, model, rain_model, txs)
+    if m == "pretrain_rain":
+        from .steps_rain import make_pretrain_rain_step
+        return make_pretrain_rain_step(cfg, rain_model, txs)
     raise ValueError(f"unknown method {m!r}")

@@ -50,23 +50,60 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _default_datasets(self):
-        cfg = self.cfg
-        if cfg.data.dataset == "synthetic":
-            from ..data.synthetic import SyntheticCardiacDataset as S
-            n = 8 * cfg.data.bs
-            return {
-                "train_s": S(n, cfg.data.crop, "ct", cfg.data.seed, augmentation=cfg.data.aug_s),
-                "train_t": S(n, cfg.data.crop, "mr", cfg.data.seed + 1,
-                             augmentation=cfg.data.aug_t,
-                             aug_counter=cfg.data.aug_counter),
-                "valid_t": S(2 * cfg.data.eval_bs, cfg.data.crop, "mr", cfg.data.seed + 2),
-                "test_t": S(2 * cfg.data.eval_bs, cfg.data.crop, "mr", cfg.data.seed + 3),
-            }
         from .. import data as data_mod
-        return data_mod.prepare_datasets(cfg)
+        return data_mod.prepare_datasets(self.cfg)
 
     def _build(self):
         cfg = self.cfg
+        import jax as _jax
+        self.rain_model = None
+        rain_params = None
+        if cfg.rain.enabled or cfg.method in ("rain", "pretrain_rain"):
+            from ..models.rain import RAIN
+            self.rain_model = RAIN()
+            x0 = jnp.zeros((1, cfg.data.crop, cfg.data.crop, 3), jnp.float32)
+            rv = self.rain_model.init(
+                {"params": _jax.random.PRNGKey(cfg.run.seed + 7),
+                 "noise": _jax.random.PRNGKey(cfg.run.seed + 8)}, x0, x0)
+            rain_params = rv["params"]
+            for name, path in (("encoder", cfg.rain.vgg_ckpt),
+                               ("decoder", cfg.rain.decoder_ckpt),
+                               ("fc_encoder", cfg.rain.fc_encoder_ckpt),
+                               ("fc_decoder", cfg.rain.fc_decoder_ckpt)):
+                if path and os.path.exists(path):
+                    loaded = dict(np.load(path, allow_pickle=True))
+                    rain_params = dict(rain_params)
+                    rain_params[name] = _jax.tree.map(jnp.asarray,
+                                                      loaded["params"].item())
+        self._rain_params = rain_params
+
+        if cfg.method == "pretrain_rain":
+            # the RAIN net itself is the trained network
+            from .state import NetState, TrainState, make_optimizer
+            tx = make_optimizer("adam", cfg.optim.lr)
+            self.txs = {"seg": tx}
+            self.state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                rng=_jax.random.PRNGKey(cfg.run.seed),
+                seg=NetState(params=rain_params, batch_stats={},
+                             opt_state=tx.init(rain_params)))
+            self.model = self.rain_model
+            self.disc = self.disc_aux = None
+            self.step_fn = build_step(cfg, None, self.txs,
+                                      rain_model=self.rain_model)
+            self.evaluator = None
+            return
+
+        if cfg.method == "ddfseg":
+            self._build_ddfseg()
+            return
+        if cfg.method == "adaptevery":
+            self._build_adaptevery()
+            return
+        if cfg.method == "bcl":
+            self._build_bcl()
+            return
+
         self.model = build_segmentor(cfg.model)
         disc = disc_aux = None
         if cfg.method in _ADVERSARIAL:
@@ -91,10 +128,211 @@ class Trainer:
         self.state, self.txs = create_train_state(
             cfg, self.model, disc=disc, disc_aux=disc_aux,
             sample_shape=sample_shape, centroids=centroids)
-        self.step_fn = build_step(cfg, self.model, self.txs, disc, disc_aux)
+        if self._rain_params is not None:
+            self.state = self.state.replace(
+                extra={"rain": self._rain_params},
+                sampling=jnp.zeros((1, 512), jnp.float32))
+        self.step_fn = build_step(cfg, self.model, self.txs, disc, disc_aux,
+                                  rain_model=self.rain_model)
         self.evaluator = Evaluator(self.model, eval_bs=cfg.data.eval_bs,
                                    klc=cfg.run.klc,
                                    num_classes=cfg.model.num_classes)
+
+    # ------------------------------------------------------------------
+    def _build_ddfseg(self):
+        """DDFNet + SegDecoder + 3 PatchGAN discriminators
+        (reference Trainer_DDFSeg.prepare_model:55-112)."""
+        import jax as _jax
+        from ..models.ddfseg import DDFNet, SegDecoder
+        from ..models.discriminators import PatchGAN
+        from .state import NetState, TrainState, make_optimizer
+        from .steps_extra import make_ddfseg_step
+        cfg = self.cfg
+        H = cfg.data.crop
+        k = _jax.random.split(_jax.random.PRNGKey(cfg.run.seed), 8)
+        self.ddfnet = DDFNet()
+        self.segdecoder = SegDecoder(num_classes=cfg.model.num_classes)
+        imgs = jnp.zeros((1, H, H, 3), jnp.float32)
+        dv = self.ddfnet.init({"params": k[0], "dropout": k[1]}, imgs, imgs, True)
+        sv = self.segdecoder.init({"params": k[2], "dropout": k[3]},
+                                  jnp.zeros((1, H // 8, H // 8, 512)), True)
+        params = {"ddfnet": dv["params"], "segdecoder": sv["params"]}
+        bstats = {"ddfnet": dv.get("batch_stats", {}),
+                  "segdecoder": sv.get("batch_stats", {})}
+        tx = make_optimizer("adam", cfg.optim.lr)
+        d_t = PatchGAN()
+        d_s = PatchGAN(aux=True)
+        d_seg = PatchGAN()
+        tx_d = lambda: make_optimizer("adam", cfg.optim.lr_dis, betas=(0.9, 0.99))
+        self.txs = {"seg": tx, "d_main": tx_d(), "d_aux": tx_d(),
+                    "d_seg": tx_d()}
+
+        def netstate(model, key, shape, tx):
+            v = model.init({"params": key}, jnp.zeros(shape, jnp.float32))
+            return NetState(params=v["params"],
+                            batch_stats=v.get("batch_stats", {}),
+                            opt_state=tx.init(v["params"]))
+
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), rng=_jax.random.PRNGKey(cfg.run.seed),
+            seg=NetState(params=params, batch_stats=bstats,
+                         opt_state=tx.init(params)),
+            d_main=netstate(d_t, k[4], (1, H, H, 1), self.txs["d_main"]),
+            d_aux=netstate(d_s, k[5], (1, H, H, 1), self.txs["d_aux"]),
+            extra={"d_seg": netstate(d_seg, k[6], (1, H, H, cfg.model.num_classes),
+                                     self.txs["d_seg"])})
+        self.step_fn = make_ddfseg_step(cfg, self.ddfnet, self.segdecoder,
+                                        d_s, d_t, d_seg, self.txs)
+        # eval path: SegDecoder(content_encoder_s(x))
+        ddfnet, segdecoder = self.ddfnet, self.segdecoder
+
+        class _EvalWrap:
+            def apply(_self, variables, x, train=False):
+                p = variables["params"]
+                bs = variables.get("batch_stats", {})
+                content = ddfnet.apply(
+                    {"params": p["ddfnet"], "batch_stats": bs.get("ddfnet", {})},
+                    x, method="content_s", train=False)
+                pred = segdecoder.apply(
+                    {"params": p["segdecoder"],
+                     "batch_stats": bs.get("segdecoder", {})}, content, False)
+                from ..models.common import SegOutput
+                return SegOutput(pred=pred, aux=None, dcdr_ft=pred)
+
+        self.evaluator = Evaluator(_EvalWrap(), eval_bs=cfg.data.eval_bs,
+                                   klc=cfg.run.klc,
+                                   num_classes=cfg.model.num_classes)
+        self.disc = self.disc_aux = None
+        self.rain_model = None
+
+    def _build_adaptevery(self):
+        """ResNetUNetPoint + 4 discriminators (Trainer_AdaptEvery:51-110)."""
+        import jax as _jax
+        from ..models.pointnet import PointNetCls
+        from ..models.resnet_unet import ResNetUNetPoint
+        from .state import NetState, TrainState, make_optimizer
+        from .steps_extra import make_adaptevery_step
+        cfg = self.cfg
+        H = cfg.data.crop
+        k = _jax.random.split(_jax.random.PRNGKey(cfg.run.seed), 8)
+        self.model = ResNetUNetPoint(num_classes=cfg.model.num_classes)
+        v = self.model.init({"params": k[0], "dropout": k[1]},
+                            jnp.zeros((1, H, H, 3), jnp.float32), True)
+        tx = make_optimizer(cfg.optim.optimizer, cfg.optim.lr,
+                            momentum=cfg.optim.momentum,
+                            weight_decay=cfg.optim.weight_decay)
+        tx_d = lambda: make_optimizer("adam", cfg.optim.lr_dis, betas=(0.9, 0.99))
+        self.txs = {"seg": tx, "d_main": tx_d(), "d_aux": tx_d(),
+                    "d_ent": tx_d(), "d_point": tx_d()}
+        d_main, d_aux, d_ent = (UncertaintyDiscriminator() for _ in range(3))
+        d_point = PointNetCls(k=1)
+
+        def netstate(model, key, shape, tx, rngs_extra=None, train_arg=False):
+            rngs = {"params": key}
+            if rngs_extra:
+                rngs.update(rngs_extra)
+            args = (jnp.zeros(shape, jnp.float32),) + ((True,) if train_arg else ())
+            vv = model.init(rngs, *args)
+            return NetState(params=vv["params"],
+                            batch_stats=vv.get("batch_stats", {}),
+                            opt_state=tx.init(vv["params"]))
+
+        dshape = (1, H, H, cfg.model.num_classes)
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), rng=_jax.random.PRNGKey(cfg.run.seed),
+            seg=NetState(params=v["params"],
+                         batch_stats=v.get("batch_stats", {}),
+                         opt_state=tx.init(v["params"])),
+            d_main=netstate(d_main, k[2], dshape, self.txs["d_main"]),
+            d_aux=netstate(d_aux, k[3], dshape, self.txs["d_aux"]),
+            extra={"d_ent": netstate(d_ent, k[4], dshape, self.txs["d_ent"]),
+                   "d_point": netstate(d_point, k[5], (1, 300, 3),
+                                       self.txs["d_point"],
+                                       rngs_extra={"dropout": k[6]},
+                                       train_arg=True)})
+        self.step_fn = make_adaptevery_step(cfg, self.model, d_main, d_aux,
+                                            d_ent, d_point, self.txs)
+        model = self.model
+
+        class _EvalWrap:
+            def apply(_self, variables, x, train=False):
+                out, _vert = model.apply(variables, x, False)
+                return out
+
+        self.evaluator = Evaluator(_EvalWrap(), eval_bs=cfg.data.eval_bs,
+                                   klc=cfg.run.klc,
+                                   num_classes=cfg.model.num_classes)
+        self.disc = self.disc_aux = None
+        self.rain_model = None
+
+    def _build_bcl(self):
+        """BCLDeepLab + per-round pseudo-labels (Trainer_BCL)."""
+        import jax as _jax
+        from ..models.deeplabv2 import BCLDeepLab
+        from .state import NetState, TrainState, make_optimizer
+        from .steps_extra import make_bcl_step
+        cfg = self.cfg
+        H = cfg.data.crop
+        layers = tuple(cfg.model.layers) or (3, 4, 23, 3)
+        self.model = BCLDeepLab(num_classes=cfg.model.num_classes,
+                                layers=layers)
+        v = self.model.init(_jax.random.PRNGKey(cfg.run.seed),
+                            jnp.zeros((1, H, H, 3), jnp.float32), True, True)
+        tx = make_optimizer("sgd", cfg.optim.lr, momentum=cfg.optim.momentum,
+                            weight_decay=cfg.optim.weight_decay)
+        self.txs = {"seg": tx}
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32), rng=_jax.random.PRNGKey(cfg.run.seed),
+            seg=NetState(params=v["params"],
+                         batch_stats=v.get("batch_stats", {}),
+                         opt_state=tx.init(v["params"])))
+        self.step_fn = make_bcl_step(cfg, self.model, self.txs)
+        self._bcl_plabels: Dict[str, np.ndarray] = {}
+        model = self.model
+
+        class _EvalWrap:
+            def apply(_self, variables, x, train=False):
+                pred, feat = model.apply(variables, x, False, False)
+                from ..models.common import SegOutput
+                return SegOutput(pred=pred, aux=None, dcdr_ft=feat)
+
+        self.evaluator = Evaluator(_EvalWrap(), eval_bs=cfg.data.eval_bs,
+                                   klc=cfg.run.klc,
+                                   num_classes=cfg.model.num_classes)
+        self.disc = self.disc_aux = None
+        self.rain_model = None
+
+    def _bcl_update_plabels(self, prop: float = 0.5):
+        """Per-round class-balanced pseudo-label generation
+        (Trainer_BCL.gene_thres + save_pred intent, :102-220)."""
+        import jax as _jax
+        from ..ops.centroids import gene_thres, thres_cb_plabel
+        cfg = self.cfg
+        loader = Loader(self.datasets["train_t"], cfg.data.eval_bs,
+                        shuffle=False, drop_last=False,
+                        num_threads=cfg.data.num_workers)
+        variables = {"params": self.state.seg.params}
+        if self.state.seg.batch_stats:
+            variables["batch_stats"] = self.state.seg.batch_stats
+
+        @_jax.jit
+        def infer(variables, x):
+            pred, _ = self.model.apply(variables, x, False, False)
+            return _jax.nn.softmax(pred.astype(jnp.float32), axis=-1)
+
+        all_probs, all_names = [], []
+        for img, _lab, names in loader:
+            p = np.asarray(infer(variables, jnp.asarray(img)))
+            all_probs.append(p)
+            all_names.extend(names)
+        probs = np.concatenate(all_probs)
+        conf = probs.max(-1).ravel()
+        pred = probs.argmax(-1).ravel()
+        th = gene_thres(conf, pred, prop, cfg.model.num_classes)
+        for i, name in enumerate(all_names):
+            plab, _mask = thres_cb_plabel(jnp.asarray(probs[i]), th,
+                                          cfg.model.num_classes)
+            self._bcl_plabels[name] = np.asarray(plab, np.int32)
 
     # ------------------------------------------------------------------
     def _sched(self, epoch: int) -> Dict[str, jnp.ndarray]:
@@ -104,34 +342,59 @@ class Trainer:
         lr_dis = schedules.get_lr(cfg.optim.lr_decay_method, cfg.optim.lr_dis,
                                   epoch, cfg.optim.epochs, cfg.optim.power)
         warm = 1.0 if epoch >= cfg.contrastive.warmup_epochs else 0.0
+        eps_on = 1.0 if (warm > 0 and cfg.rain.enabled
+                         and cfg.rain.update_eps) else 0.0
         return {"lr": jnp.asarray(lr, jnp.float32),
                 "lr_dis": jnp.asarray(lr_dis, jnp.float32),
-                "warm": jnp.asarray(warm, jnp.float32)}
+                "warm": jnp.asarray(warm, jnp.float32),
+                "fresh": jnp.asarray(1.0, jnp.float32),
+                "eps_on": jnp.asarray(eps_on, jnp.float32)}
 
     def _epoch_batches(self) -> Iterable[Dict[str, Any]]:
         cfg = self.cfg
         train_s = Loader(self.datasets["train_s"], cfg.data.bs, seed=cfg.data.seed,
                          num_threads=cfg.data.num_workers)
         if cfg.method == "baseline":
-            for img, lab, names in train_s:
-                yield {"img_s": img, "lab_s": lab, "names_s": names}
+            for batch in train_s:
+                yield {"img_s": batch[0], "lab_s": batch[1], "names_s": batch[-1]}
             return
         train_t = Loader(self.datasets["train_t"], cfg.data.bs,
                          seed=cfg.data.seed + 17, num_threads=cfg.data.num_workers)
-        yield from zip_domains(train_s, train_t,
-                               aug_counter=cfg.data.aug_counter)
+        for batch in zip_domains(train_s, train_t,
+                                 aug_counter=cfg.data.aug_counter):
+            if cfg.method == "bcl":
+                plabels = [self._bcl_plabels.get(
+                    n, np.full(batch["img_t"].shape[1:3], 255, np.int32))
+                    for n in batch["names_t"]]
+                batch["plabel_t"] = np.stack(plabels)
+            yield batch
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        if cfg.method == "bcl" and epoch % max(cfg.run.bcl_round_epochs, 1) == 0:
+            self._bcl_update_plabels(cfg.run.bcl_prop)
         sched = self._sched(epoch)
+        # RAIN epsilon loop: after warmup, each batch runs eps_iters
+        # iterations with the sampling carried and updated (reference
+        # Trainer_MCCL.py:189-192); fresh sampling only on the first
+        eps_iters = 1
+        if (cfg.rain.enabled and cfg.rain.update_eps
+                and epoch >= cfg.contrastive.warmup_epochs):
+            eps_iters = max(1, cfg.rain.eps_iters)
+        sched_cont = dict(sched)
+        sched_cont["fresh"] = jnp.asarray(0.0, jnp.float32)
+
         acc: Dict[str, Any] = {}
         n = 0
         for batch in self._epoch_batches():
             arrays = {k: jnp.asarray(v) for k, v in batch.items()
                       if isinstance(v, np.ndarray)}
-            self.state, metrics = self.step_fn(self.state, arrays, sched)
-            for k, v in metrics.items():
-                acc[k] = acc.get(k, 0.0) + v  # device-side accumulation
-            n += 1
+            for it in range(eps_iters):
+                s = sched if it == 0 else sched_cont
+                self.state, metrics = self.step_fn(self.state, arrays, s)
+                for k, v in metrics.items():
+                    acc[k] = acc.get(k, 0.0) + v  # device-side accumulation
+                n += 1
         return {k: float(v) / max(n, 1) for k, v in acc.items()}
 
     def eval(self, split: str = "valid_t", toprint: bool = False,
@@ -175,11 +438,22 @@ class Trainer:
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
         log_path = self.out_dir / "log.jsonl"
+        from ..utils.tb import TBWriter
+        tb = TBWriter(str(self.out_dir / "tb"))
         for epoch in range(cfg.optim.epochs):
             t0 = time.time()
             train_metrics = self.train_epoch(epoch)
             record: Dict[str, Any] = {"epoch": epoch, **train_metrics}
-            if (epoch + 1) % cfg.run.eval_frequency == 0 or epoch == cfg.optim.epochs - 1:
+            if cfg.method == "pretrain_rain":
+                # checkpoint on min combined loss (Pretrainer_RAIN.py:216-227)
+                score = -sum(train_metrics.get(k, 0.0)
+                             for k in ("loss_c", "loss_s", "loss_l", "loss_r"))
+                record["score"] = score
+                if score > self.best_score:
+                    self.best_score = score
+                    self.best_epoch = epoch
+                    self.save_checkpoint("best")
+            elif (epoch + 1) % cfg.run.eval_frequency == 0 or epoch == cfg.optim.epochs - 1:
                 # per-epoch validation is dice-only; surface metrics (HD95/
                 # ASSD) run once at final test like the reference
                 results = self.eval("valid_t", ifhd=False, ifasd=False)
@@ -192,6 +466,7 @@ class Trainer:
             epoch_time = time.time() - t0
             record["epoch_time_s"] = round(epoch_time, 3)
             self.history.append(record)
+            tb.scalars(record, epoch + 1)
             with open(log_path, "a") as f:
                 f.write(json.dumps(record) + "\n")
             print(f"[{self.apdx}] " + " ".join(
@@ -202,6 +477,12 @@ class Trainer:
                 print("early stop / wall-clock budget reached")
                 break
         self.save_checkpoint("last")
+        if cfg.method == "pretrain_rain":
+            summary = {"best_epoch": self.best_epoch,
+                       "best_score": self.best_score, "history": self.history}
+            with open(self.out_dir / "summary.json", "w") as f:
+                json.dump(summary, f, indent=2)
+            return summary
         # final test with the best checkpoint (reference final eval,
         # Trainer_MPSCL.py:434-453)
         if self.best_epoch >= 0:
