@@ -87,6 +87,30 @@ class Loader:
             stop.set()
 
 
+def device_prefetch(batch_iter, size: int = 2):
+    """Overlap host->device transfer with compute: keep ``size`` batches'
+    device transfers in flight ahead of the consumer. jax.device_put is
+    async, so issuing the next batch's transfer before the current step's
+    results are consumed pipelines PCIe/tunnel latency behind the TPU step
+    (the reference's pinned-memory + non_blocking copies, TPU-style)."""
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def _put(batch):
+        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                for k, v in batch.items()}
+
+    for batch in batch_iter:
+        queue.append(_put(batch))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def zip_domains(content_loader: Loader, style_loader: Loader,
                 aug_counter: bool = False) -> Iterator[Dict[str, Any]]:
     """Yield UDA batches: ``{'img_s', 'lab_s', 'img_t'[, 'img_t_aug']}``.

@@ -372,6 +372,52 @@ def local_con_loss(features, labels=None, *, temperature=0.7, stride=4):
     return supcon_loss(feats, labs, temperature=temperature)
 
 
+def block_con_loss(features, labels=None, *, temperature=0.7, block_size=32):
+    """SupCon over non-overlapping spatial tiles, averaged over non-empty
+    tiles (reference utils/loss.py:416-466). features (B, V, H, W, F)."""
+    h = features.shape[2]
+    div = h // block_size
+    losses_, weights = [], []
+    for i in range(div):
+        for j in range(div):
+            fb = features[:, :, i * block_size:(i + 1) * block_size,
+                          j * block_size:(j + 1) * block_size, :]
+            if labels is not None:
+                lb = labels[:, :, i * block_size:(i + 1) * block_size,
+                            j * block_size:(j + 1) * block_size]
+                nonzero = (jnp.sum(lb) > 0).astype(jnp.float32)
+                losses_.append(supcon_loss(fb, lb, temperature=temperature)
+                               * nonzero)
+                weights.append(nonzero)
+            else:
+                losses_.append(supcon_loss(fb, temperature=temperature))
+                weights.append(jnp.asarray(1.0))
+    total = sum(losses_)
+    denom = sum(weights)
+    return jnp.where(denom > 0, total / jnp.maximum(denom, 1.0), 0.0)
+
+
+def interpolated_supcon_loss(features: Array, labels_a: Array, labels_b: Array,
+                             lam: float, *, temperature: float = 0.07) -> Array:
+    """Mixup-style supervised contrastive loss: the positive mask is the
+    lam-weighted blend of both label sets' equality masks (reference
+    utils/losses.py:6-68 intent). features (N, F) normalized; labels (N,)."""
+    feats = _f32(features)
+    logits = (feats @ feats.T) / temperature
+    la = labels_a.reshape(-1, 1)
+    lb = labels_b.reshape(-1, 1)
+    mask = (lam * jnp.equal(la, la.T).astype(jnp.float32)
+            + (1.0 - lam) * jnp.equal(lb, lb.T).astype(jnp.float32))
+    n = feats.shape[0]
+    logits_mask = 1.0 - jnp.eye(n, dtype=jnp.float32)
+    mask = mask * logits_mask
+    exp_logits = jnp.exp(logits) * logits_mask
+    log_prob = logits - jnp.log(jnp.sum(exp_logits, axis=1, keepdims=True))
+    mlpp = jnp.sum(mask * log_prob, axis=1) / jnp.maximum(
+        jnp.sum(mask, axis=1), 1e-12)
+    return -jnp.mean(mlpp)
+
+
 # ---------------------------------------------------------------------------
 # BCL losses
 # ---------------------------------------------------------------------------

@@ -384,11 +384,12 @@ class Trainer:
         sched_cont = dict(sched)
         sched_cont["fresh"] = jnp.asarray(0.0, jnp.float32)
 
+        from ..data.loader import device_prefetch
         acc: Dict[str, Any] = {}
         n = 0
-        for batch in self._epoch_batches():
-            arrays = {k: jnp.asarray(v) for k, v in batch.items()
-                      if isinstance(v, np.ndarray)}
+        batches = ({k: v for k, v in b.items() if isinstance(v, np.ndarray)}
+                   for b in self._epoch_batches())
+        for arrays in device_prefetch(batches, size=cfg.data.prefetch):
             for it in range(eps_iters):
                 s = sched if it == 0 else sched_cont
                 self.state, metrics = self.step_fn(self.state, arrays, s)

@@ -218,3 +218,28 @@ def test_seg_pseudo_loss_matches_formula(rng):
     want = float((raw * mask).mean())
     got = float(losses.seg_pseudo_loss(jnp.asarray(p), 0.5, C))
     assert got == pytest.approx(want, rel=1e-5)
+
+
+def test_block_con_loss_finite(rng):
+    feats = rng.normal(size=(1, 2, 8, 8, FEAT)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=-1, keepdims=True)
+    labels = _rand_labels(rng, (1, 2, 8, 8))
+    out = float(losses.block_con_loss(jnp.asarray(feats), jnp.asarray(labels),
+                                      block_size=4))
+    assert np.isfinite(out)
+    # empty-label tiles are excluded; all-zero labels -> 0
+    zeros = jnp.zeros((1, 2, 8, 8), jnp.int32)
+    assert float(losses.block_con_loss(jnp.asarray(feats), zeros,
+                                       block_size=4)) == 0.0
+
+
+def test_interpolated_supcon(rng):
+    feats = rng.normal(size=(16, FEAT)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    la = rng.integers(0, 4, 16).astype(np.int32)
+    lb = rng.integers(0, 4, 16).astype(np.int32)
+    v1 = float(losses.interpolated_supcon_loss(jnp.asarray(feats),
+                                               jnp.asarray(la), jnp.asarray(lb), 1.0))
+    v_pure = float(losses.interpolated_supcon_loss(jnp.asarray(feats),
+                                                   jnp.asarray(la), jnp.asarray(la), 0.3))
+    assert np.isfinite(v1) and np.isfinite(v_pure)

@@ -1,0 +1,79 @@
+"""Data-parallel mesh: sharded-batch training equals single-device training
+(8 virtual CPU devices from conftest)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from slcl_tpu.config import Config
+from slcl_tpu.models import UncertaintyDiscriminator, build_segmentor
+from slcl_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from slcl_tpu.train.state import create_train_state
+from slcl_tpu.train.steps import build_step
+
+H = 16
+
+
+def _setup(method="mpscl"):
+    cfg = Config()
+    cfg.method = method
+    cfg.model.filters = 8
+    cfg.model.n_block = 2
+    cfg.model.bottleneck_depth = 2
+    cfg.model.dtype = "float32"
+    model = build_segmentor(cfg.model)
+    disc = UncertaintyDiscriminator(dtype=jnp.float32)
+    cents = jnp.zeros((4, 8), jnp.float32)
+    state, txs = create_train_state(cfg, model, disc=disc,
+                                    sample_shape=(1, H, H, 3), centroids=cents)
+    step = build_step(cfg, model, txs, disc, None)
+    return cfg, state, step
+
+
+def _batch(rng, B=8):
+    return {
+        "img_s": rng.normal(size=(B, H, H, 3)).astype(np.float32),
+        "lab_s": rng.integers(0, 4, size=(B, H, H)).astype(np.int32),
+        "img_t": rng.normal(size=(B, H, H, 3)).astype(np.float32),
+    }
+
+
+def test_mesh_has_8_devices():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_step_matches_single_device(rng):
+    """The same batch, sharded 8-way vs on one device, must produce the
+    same updated parameters (bit-level up to reduction order)."""
+    _, state, step = _setup()
+    batch_np = _batch(rng)
+    sched = {"lr": jnp.asarray(1e-3), "lr_dis": jnp.asarray(1e-4),
+             "warm": jnp.asarray(1.0)}
+
+    # single device
+    single = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    s1, m1 = step(state, single, sched)
+
+    # 8-way data parallel
+    mesh = make_mesh()
+    with mesh:
+        state_r = replicate_state(state, mesh)
+        sharded = shard_batch(batch_np, mesh)
+        s8, m8 = step(state_r, sharded, sched)
+
+    p1 = np.asarray(jax.tree.leaves(s1.seg.params)[0])
+    p8 = np.asarray(jax.tree.leaves(s8.seg.params)[0])
+    np.testing.assert_allclose(p1, p8, rtol=1e-4, atol=1e-6)
+    assert float(m1["seg_s"]) == pytest.approx(float(m8["seg_s"]), rel=1e-5)
+    c1 = np.asarray(s1.centroids)
+    c8 = np.asarray(s8.centroids)
+    np.testing.assert_allclose(c1, c8, rtol=1e-4, atol=1e-6)
+
+
+def test_graft_entry_single_chip():
+    import __graft_entry__ as g
+    fn, (variables, x) = g.entry()
+    out = jax.jit(fn)(variables, x)
+    assert out.shape == (2, 224, 224, 4)
