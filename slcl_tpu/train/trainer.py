@@ -439,8 +439,14 @@ class Trainer:
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
         log_path = self.out_dir / "log.jsonl"
+        from ..utils.callbacks import EarlyStopCallback, ModelCheckPointCallback
         from ..utils.tb import TBWriter
         tb = TBWriter(str(self.out_dir / "tb"))
+        mcp = ModelCheckPointCallback(
+            str(self.out_dir), self.save_checkpoint, mode="max",
+            save_every_epochs=cfg.run.save_every_epochs,
+            n_epochs=cfg.optim.epochs, apdx=self.apdx[:60])
+        early = EarlyStopCallback(cfg.run.early_stop_patience, mode="max")
         for epoch in range(cfg.optim.epochs):
             t0 = time.time()
             train_metrics = self.train_epoch(epoch)
@@ -450,20 +456,20 @@ class Trainer:
                 score = -sum(train_metrics.get(k, 0.0)
                              for k in ("loss_c", "loss_s", "loss_l", "loss_r"))
                 record["score"] = score
-                if score > self.best_score:
+                if mcp.step(score, epoch):
                     self.best_score = score
                     self.best_epoch = epoch
-                    self.save_checkpoint("best")
             elif (epoch + 1) % cfg.run.eval_frequency == 0 or epoch == cfg.optim.epochs - 1:
                 # per-epoch validation is dice-only; surface metrics (HD95/
                 # ASSD) run once at final test like the reference
                 results = self.eval("valid_t", ifhd=False, ifasd=False)
                 dice = mean_fg_dice(results)
                 record["val_dice"] = dice
-                if dice > self.best_score:
+                if mcp.step(dice, epoch):
                     self.best_score = dice
                     self.best_epoch = epoch
-                    self.save_checkpoint("best")
+                if early.step(dice, epoch):
+                    record["early_stop"] = True
             epoch_time = time.time() - t0
             record["epoch_time_s"] = round(epoch_time, 3)
             self.history.append(record)
@@ -473,9 +479,10 @@ class Trainer:
             print(f"[{self.apdx}] " + " ".join(
                 f"{k}={v:.4f}" if isinstance(v, float) else f"{k}={v}"
                 for k, v in record.items()))
-            if self.stop_training(epoch, epoch_time,
-                                  record.get("val_dice", 0.0)):
+            if record.get("early_stop") or self.stop_training(
+                    epoch, epoch_time, record.get("val_dice", 0.0)):
                 print("early stop / wall-clock budget reached")
+                mcp.finalize()
                 break
         self.save_checkpoint("last")
         if cfg.method == "pretrain_rain":
