@@ -72,6 +72,34 @@ def nii_to_png_mmwhs(data_dir: str, out_dir: str, modality: str,
         cv2.imwrite(str(out_dir / f"pat_{m.group(1)}_{mod.lower()}_{m.group(2)}.png"), png)
 
 
+def nii_to_png_mscmrseg(data_dir: str, out_dir: str, crop: int = 224,
+                        clahe: bool = False, target_spacing: float = 1.0):
+    """MS-CMRSeg volumes -> per-slice PNGs: resample to ~1 mm in-plane,
+    centre crop, optional CLAHE (reference preprocess_data.py:28-98)."""
+    data_dir, out_dir = Path(data_dir), Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    cl = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)) if clahe else None
+    for fp in sorted(glob(str(data_dir / "*.nii*"))):
+        vol, spacing = read_nii(fp)
+        if vol.ndim == 2:
+            vol = vol[None]
+        name = Path(fp).name.split(".")[0]
+        for i, sl in enumerate(vol):
+            # in-plane resample to target spacing
+            sy = (spacing[-2] if len(spacing) >= 2 else 1.0) / target_spacing
+            sx = (spacing[-1] if len(spacing) >= 1 else 1.0) / target_spacing
+            if abs(sy - 1) > 1e-3 or abs(sx - 1) > 1e-3:
+                sl = cv2.resize(sl.astype(np.float32), None, fx=sx, fy=sy,
+                                interpolation=cv2.INTER_LINEAR)
+            vmin, vmax = np.percentile(sl, 1), np.percentile(sl, 99)
+            sl = np.clip((sl - vmin) / (vmax - vmin + 1e-7), 0, 1)
+            sl = crop_resize(sl.astype(np.float32), (crop, crop))
+            png = (sl * 255).astype(np.uint8)
+            if cl is not None:
+                png = cl.apply(png)
+            cv2.imwrite(str(out_dir / f"{name}_{i}.png"), png)
+
+
 def sample_mean_std_csv(data_dir: str, out_csv: str):
     """Per-patient mean/std CSV (cal_sample_mean_std.py parity)."""
     import pandas as pd

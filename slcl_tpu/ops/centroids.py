@@ -211,6 +211,39 @@ def thres_cb_plabel(probs: Array, thresholds: Array, num_classes: int) -> Tuple[
     return plabel, mask.astype(jnp.float32)
 
 
+def gene_plabel_prop(probs: Array, prop: float) -> Tuple[Array, Array]:
+    """Local top-r% pseudo-labels: keep each image's most-confident ``prop``
+    fraction of pixels, 255 elsewhere (reference gene_plabel_prop intent,
+    Trainer_BCL.py:165-220 local branch). probs NHWC softmax."""
+    conf = jnp.max(probs, axis=-1)                       # NHW
+    pred = jnp.argmax(probs, axis=-1)
+    flat = conf.reshape(conf.shape[0], -1)
+    k = max(int(prop * flat.shape[1]), 1)
+    kth = jnp.sort(flat, axis=1)[:, -k][:, None]
+    mask = flat >= kth
+    mask = mask.reshape(conf.shape)
+    plabel = jnp.where(mask, pred, 255)
+    return plabel, mask.astype(jnp.float32)
+
+
+def mask_fusion(plabel_a: Array, plabel_b: Array) -> Array:
+    """Fuse two pseudo-label maps: keep agreement, 255 on conflict/ignore
+    (reference mask_fusion intent, utils_.py:1179-1296)."""
+    agree = plabel_a == plabel_b
+    return jnp.where(agree, plabel_a, 255)
+
+
+def pseudo_label_accuracy(plabel: Array, label: Array,
+                          ignore: int = 255) -> Tuple[Array, Array]:
+    """(accuracy over non-ignored pixels, kept-pixel proportion) — the
+    reference's Acc bookkeeping (utils_.py Acc)."""
+    valid = (plabel != ignore)
+    correct = jnp.logical_and(valid, plabel == label)
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return (jnp.sum(correct) / n_valid,
+            jnp.mean(valid.astype(jnp.float32)))
+
+
 def gene_thres(probs_flat: Array, labels_flat: Array, prop: float,
                num_classes: int) -> Array:
     """Per-class confidence threshold keeping the top-``prop`` fraction.

@@ -152,3 +152,21 @@ def test_thres_cb_plabel(rng):
     want_mask = conf >= th[pred]
     np.testing.assert_array_equal(np.asarray(mask), want_mask.astype(np.float32))
     assert (np.asarray(plabel)[~want_mask] == 255).all()
+
+
+def test_gene_plabel_prop(rng):
+    probs = rng.dirichlet(np.ones(C), size=(2, 8, 8)).astype(np.float32)
+    plabel, mask = centroids.gene_plabel_prop(jnp.asarray(probs), 0.25)
+    kept = np.asarray(mask).reshape(2, -1).mean(1)
+    assert (kept >= 0.25 - 1e-6).all() and (kept <= 0.5).all()
+    assert (np.asarray(plabel)[np.asarray(mask) == 0] == 255).all()
+
+
+def test_mask_fusion_and_accuracy(rng):
+    a = rng.integers(0, 4, (4, 4)).astype(np.int32)
+    b = a.copy(); b[0, 0] = (a[0, 0] + 1) % 4
+    fused = np.asarray(centroids.mask_fusion(jnp.asarray(a), jnp.asarray(b)))
+    assert fused[0, 0] == 255 and (fused[1:] == a[1:]).all()
+    acc, prop = centroids.pseudo_label_accuracy(jnp.asarray(fused), jnp.asarray(a))
+    assert float(acc) == 1.0
+    assert float(prop) == pytest.approx(15 / 16)

@@ -126,3 +126,16 @@ def test_augmentations_preserve_contract(rng):
         assert a_img.shape == (64, 64)
         assert a_mask.shape == (64, 64)
         assert set(np.unique(a_mask)) <= {0, 1, 2, 3}
+
+
+def test_nii_to_png_mscmrseg(tmp_path, rng):
+    from slcl_tpu.data.preprocess import nii_to_png_mscmrseg
+    vol = (rng.normal(size=(3, 48, 40)) * 100).astype(np.float32)
+    nifti.write_nii(tmp_path / "patient1_LGE.nii", vol, spacing=(8.0, 1.25, 1.25))
+    out = tmp_path / "png"
+    nii_to_png_mscmrseg(str(tmp_path), str(out), crop=64, clahe=True)
+    import cv2
+    files = sorted(out.glob("*.png"))
+    assert len(files) == 3
+    img = cv2.imread(str(files[0]), cv2.IMREAD_GRAYSCALE)
+    assert img.shape == (64, 64)
