@@ -16,6 +16,7 @@
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict
 
 import jax

@@ -111,10 +111,13 @@ def test_mccl_warmup_gates_contrastive(rng):
                    CNR_w=1.0, warmup_epochs=5)
     state, step = build(cfg)
     batch = make_batch(rng, "mccl")
+    # steps donate their input state; copy before reusing the same state
+    state_copy = jax.tree.map(lambda x: x.copy() if hasattr(x, "copy") else x,
+                              state)
     # warm=0: contrastive/CNR reported but not applied; params still update
     # from the seg loss. warm=1 must change the resulting params.
     s_cold, m_cold = step(state, batch, sched(warm=0.0))
-    s_warm, m_warm = step(state, batch, sched(warm=1.0))
+    s_warm, m_warm = step(state_copy, batch, sched(warm=1.0))
     assert np.isfinite(float(m_cold["inter_c_loss"]))
     p_cold = np.asarray(jax.tree.leaves(s_cold.seg.params)[0])
     p_warm = np.asarray(jax.tree.leaves(s_warm.seg.params)[0])
@@ -126,8 +129,8 @@ def test_multilvl_aux_discriminator(rng):
     state, step = build(cfg)
     batch = make_batch(rng, "mpscl")
     assert state.d_aux is not None
+    da0 = np.asarray(jax.tree.leaves(state.d_aux.params)[0])  # before donation
     state2, metrics = step(state, batch, sched())
     assert "loss_dis_aux" in metrics
-    da0 = jax.tree.leaves(state.d_aux.params)[0]
     da1 = jax.tree.leaves(state2.d_aux.params)[0]
-    assert not np.allclose(np.asarray(da0), np.asarray(da1))
+    assert not np.allclose(da0, np.asarray(da1))
