@@ -418,8 +418,12 @@ class Trainer:
         ckptr.wait_until_finished()
 
     def restore_checkpoint(self, tag: str = "best"):
+        """Restore the full TrainState; ``tag`` is a tag under out_dir or an
+        absolute checkpoint path (reference -restore_from parity)."""
         import orbax.checkpoint as ocp
-        path = (self.out_dir / f"ckpt_{tag}").absolute()
+        p = Path(tag)
+        path = p.absolute() if (p.is_absolute() or p.exists()) \
+            else (self.out_dir / f"ckpt_{tag}").absolute()
         ckptr = ocp.StandardCheckpointer()
         self.state = ckptr.restore(path, self.state)
 
@@ -447,6 +451,13 @@ class Trainer:
             save_every_epochs=cfg.run.save_every_epochs,
             n_epochs=cfg.optim.epochs, apdx=self.apdx[:60])
         early = EarlyStopCallback(cfg.run.early_stop_patience, mode="max")
+        if cfg.run.restore_from:
+            # resume: '-restore_from' parity (Trainer_baseline.py:144-162)
+            try:
+                self.restore_checkpoint(cfg.run.restore_from)
+                print(f"resumed from checkpoint '{cfg.run.restore_from}'")
+            except Exception as e:
+                print(f"restore failed ({e}); training from scratch")
         for epoch in range(cfg.optim.epochs):
             t0 = time.time()
             train_metrics = self.train_epoch(epoch)

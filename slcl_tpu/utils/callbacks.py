@@ -51,19 +51,14 @@ class ModelCheckPointCallback:
         return improved
 
     def finalize(self):
-        """Rename the best checkpoint dir with epoch+score fingerprint
-        (reference callbacks.py:86-97 / Trainer_MPSCL.py:409-431)."""
-        best = self.out_dir / "ckpt_best"
-        if best.exists() and self.epoch >= 0:
-            target = self.out_dir / (
-                f"ckpt_{self.apdx}.e{self.epoch + 1}.Scr{self.best_result:.4f}")
-            if not target.exists():
-                try:
-                    os.rename(best, target)
-                    # keep a stable alias for restore
-                    os.symlink(target.name, best)
-                except OSError:
-                    pass
+        """Record the epoch+score fingerprint of the best checkpoint
+        (reference callbacks.py:86-97 / Trainer_MPSCL.py:409-431 rename the
+        dir; here the fingerprint goes to a marker file so the stable
+        ``ckpt_best`` path keeps working for restore/resume)."""
+        if self.epoch >= 0:
+            marker = self.out_dir / "best_fingerprint.txt"
+            marker.write_text(
+                f"{self.apdx}.e{self.epoch + 1}.Scr{self.best_result:.4f}\n")
 
 
 class EarlyStopCallback:
