@@ -124,6 +124,8 @@ class ModelConfig:
     phead: bool = False               # projection head on decoder features
     pretrained: bool = False
     dtype: str = "bfloat16"           # activation dtype on TPU
+    remat: bool = False               # rematerialize the segmentor forward
+                                      # (trade FLOPs for HBM at large batch)
 
 
 @dataclass

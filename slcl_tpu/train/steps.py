@@ -36,13 +36,21 @@ from .state import NetState, TrainState
 Array = jax.Array
 
 
-def _apply_seg(model, net: NetState, x, train=True):
-    """Run the segmentor, returning (SegOutput, new_batch_stats)."""
+def _apply_seg(model, net: NetState, x, train=True, remat=False):
+    """Run the segmentor, returning (SegOutput, new_batch_stats).
+
+    ``remat`` wraps the forward in jax.checkpoint so the backward pass
+    recomputes activations instead of holding them in HBM (useful for
+    large-batch / high-res runs; set via cfg.model.remat)."""
     variables = {"params": net.params}
     if net.batch_stats:
         variables["batch_stats"] = net.batch_stats
         if train:
-            out, upd = model.apply(variables, x, True, mutable=["batch_stats"])
+            def fwd(variables, x):
+                return model.apply(variables, x, True, mutable=["batch_stats"])
+            if remat:
+                fwd = jax.checkpoint(fwd)
+            out, upd = fwd(variables, x)
             return out, upd["batch_stats"]
         return model.apply(variables, x, False), net.batch_stats
     return model.apply(variables, x, train), net.batch_stats
@@ -79,7 +87,7 @@ def make_baseline_step(cfg, model, txs) -> Callable:
     def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
         def loss_fn(params):
             out, new_bs = _apply_seg(model, state.seg.replace(params=params),
-                                     batch["img_s"])
+                                     batch["img_s"], remat=cfg.model.remat)
             loss = L.loss_calc(out.pred, batch["lab_s"], jaccard=True)
             metrics = {"seg_s": loss}
             if out.aux is not None:
@@ -202,8 +210,10 @@ def make_adaptseg_step(cfg, model, disc, disc_aux, txs) -> Callable:
 
     def gen_loss(params, state, batch, sched):
         net = state.seg.replace(params=params)
-        out_s, bs1 = _apply_seg(model, net, batch["img_s"])
-        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1), batch["img_t"])
+        out_s, bs1 = _apply_seg(model, net, batch["img_s"],
+                                remat=cfg.model.remat)
+        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1),
+                                batch["img_t"], remat=cfg.model.remat)
         loss_seg = L.loss_calc(out_s.pred, batch["lab_s"], jaccard=True)
         metrics = {"seg_s": loss_seg}
         if cfg.model.multilvl and out_s.aux is not None:
@@ -238,8 +248,10 @@ def make_advent_step(cfg, model, disc, disc_aux, txs) -> Callable:
 
     def gen_loss(params, state, batch, sched):
         net = state.seg.replace(params=params)
-        out_s, bs1 = _apply_seg(model, net, batch["img_s"])
-        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1), batch["img_t"])
+        out_s, bs1 = _apply_seg(model, net, batch["img_s"],
+                                remat=cfg.model.remat)
+        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1),
+                                batch["img_t"], remat=cfg.model.remat)
         loss_seg = L.loss_calc(out_s.pred, batch["lab_s"], jaccard=True)
         metrics = {"seg_s": loss_seg}
         if cfg.model.multilvl and out_s.aux is not None:
@@ -285,8 +297,10 @@ def make_mpscl_step(cfg, model, disc, disc_aux, txs) -> Callable:
 
     def gen_loss(params, state, batch, sched):
         net = state.seg.replace(params=params)
-        out_s, bs1 = _apply_seg(model, net, batch["img_s"])
-        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1), batch["img_t"])
+        out_s, bs1 = _apply_seg(model, net, batch["img_s"],
+                                remat=cfg.model.remat)
+        out_t, bs2 = _apply_seg(model, net.replace(batch_stats=bs1),
+                                batch["img_t"], remat=cfg.model.remat)
         labels_s = batch["lab_s"]
 
         # seg loss: CE + dice (Trainer_MPSCL.py:125; aux loss disabled :128-130)
@@ -394,7 +408,7 @@ def make_mccl_step(cfg, model, txs, rain_model=None) -> Callable:
             else:
                 # ONE forward over concat [src, trg, trg_aug] (:246)
                 x = jnp.concatenate([img_s, img_t, img_t_aug], axis=0)
-            out, new_bs = _apply_seg(model, net, x)
+            out, new_bs = _apply_seg(model, net, x, remat=cfg.model.remat)
             seg_sz = style_size + s_size
             pred_s = out.pred[style_size:seg_sz]
             pred_t_all = out.pred[seg_sz:]
