@@ -67,3 +67,43 @@ def data_parallel_step(step_fn, mesh: Mesh):
 def _not_committed(tree) -> bool:
     leaf = jax.tree.leaves(tree)[0]
     return not hasattr(leaf, "sharding")
+
+
+def fsdp_shard_state(state, mesh: Mesh, min_size: int = 2 ** 16):
+    """Shard large parameter/optimizer leaves over the reserved ``model``
+    axis (fsdp-style; SURVEY §2.8 "a flag, not a rewrite"). A leaf is sharded
+    along its largest axis divisible by the model-axis size; small leaves and
+    indivisible leaves stay replicated. Works with plain jit: GSPMD inserts
+    the all-gathers/reduce-scatters."""
+    model_n = mesh.shape["model"]
+
+    def spec_for(x):
+        if not hasattr(x, "shape") or x.size < min_size or model_n == 1:
+            return P()
+        dims = list(x.shape)
+        order = sorted(range(len(dims)), key=lambda i: -dims[i])
+        for i in order:
+            if dims[i] % model_n == 0 and dims[i] >= model_n:
+                spec = [None] * len(dims)
+                spec[i] = "model"
+                return P(*spec)
+        return P()
+
+    return jax.tree.map(
+        lambda x: jax.device_put(x, NamedSharding(mesh, spec_for(x)))
+        if hasattr(x, "shape") else x, state)
+
+
+def make_multihost_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    """Multi-host input feeding: each process contributes its local shard of
+    the global batch (jax.make_array_from_process_local_data over the 'data'
+    axis). On a single host this reduces to shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(batch, mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape"):
+            spec = P("data", *([None] * (np.ndim(v) - 1)))
+            out[k] = jax.make_array_from_process_local_data(
+                NamedSharding(mesh, spec), np.asarray(v))
+    return out

@@ -77,3 +77,29 @@ def test_graft_entry_single_chip():
     fn, (variables, x) = g.entry()
     out = jax.jit(fn)(variables, x)
     assert out.shape == (2, 224, 224, 4)
+
+
+def test_fsdp_sharding_matches_replicated(rng):
+    """Params sharded over the model axis must produce the same step result
+    as fully-replicated params (GSPMD inserts the collectives)."""
+    from slcl_tpu.parallel.mesh import fsdp_shard_state
+    _, state, step = _setup()
+    batch_np = _batch(rng)
+    sched = {"lr": jnp.asarray(1e-3), "lr_dis": jnp.asarray(1e-4),
+             "warm": jnp.asarray(1.0)}
+    mesh = make_mesh(8, model_axis=4)  # 2 data x 4 model
+    with mesh:
+        state_r = replicate_state(state, mesh)
+        s_ref, m_ref = step(state_r, shard_batch(batch_np, mesh), sched)
+
+        state_f = fsdp_shard_state(state, mesh, min_size=1024)
+        # at least one leaf actually sharded over 'model'
+        sharded_leaves = [x for x in jax.tree.leaves(state_f)
+                          if hasattr(x, "sharding")
+                          and "model" in (x.sharding.spec or ())]
+        assert sharded_leaves, "expected some fsdp-sharded leaves"
+        s_f, m_f = step(state_f, shard_batch(batch_np, mesh), sched)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s_ref.seg.params)[0]),
+        np.asarray(jax.tree.leaves(s_f.seg.params)[0]), rtol=1e-4, atol=1e-6)
+    assert float(m_ref["seg_s"]) == pytest.approx(float(m_f["seg_s"]), rel=1e-5)
