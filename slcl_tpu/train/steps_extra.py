@@ -16,7 +16,6 @@
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict
 
 import jax
@@ -45,14 +44,8 @@ def make_ddfseg_step(cfg, ddfnet, segdecoder, d_s, d_t, d_seg, txs) -> Callable:
     {'ddfnet': ..., 'segdecoder': ...}; d_main/d_aux/extra['d_seg'] hold the
     three discriminators. Weights per reference defaults
     (Trainer_DDFSeg.py:25-36)."""
-    w = cfg.ddfseg if hasattr(cfg, "ddfseg") else None
     w_seg, w_cyc, w_zero = 0.1, 1.0, 0.01
     w_adv_t, w_adv_s, w_adv_aux, w_adv_seg = 1.0, 1.0, 0.1, 0.1
-
-    def _nets_apply(params, rngs, img_s, img_t, train=True):
-        ddf_out = ddfnet.apply({"params": params["ddfnet"]}, img_s, img_t,
-                               train, rngs=rngs, mutable=["batch_stats"])
-        return ddf_out
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):

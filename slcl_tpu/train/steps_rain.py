@@ -18,7 +18,6 @@ times per batch after warmup, carrying ``sampling`` in the state.
 """
 from __future__ import annotations
 
-import functools
 from typing import Callable, Dict
 
 import jax

@@ -139,3 +139,41 @@ def test_nii_to_png_mscmrseg(tmp_path, rng):
     assert len(files) == 3
     img = cv2.imread(str(files[0]), cv2.IMREAD_GRAYSCALE)
     assert img.shape == (64, 64)
+
+
+def test_mscmrseg_png_pipeline(tmp_path, rng):
+    """MS-CMRSeg PNG tree: fold filtering, mask remap, normalization."""
+    import cv2
+    from slcl_tpu.config import Config
+    from slcl_tpu.data.mscmrseg import MSCMRSegDataset, prepare_datasets_mscmrseg
+    for sub, tag in (("A", "bSSFP"), ("B", "lge")):
+        for phase in ("train", "test"):
+            (tmp_path / f"{phase}{sub}").mkdir(parents=True, exist_ok=True)
+            (tmp_path / f"{phase}{sub}mask").mkdir(parents=True, exist_ok=True)
+    # pat 6 is in MSCMRSEG_TEST_FOLD2 (fold 1 -> test), pat 1 is not
+    for pat in (1, 6):
+        for i in range(2):
+            img = (rng.random((48, 48)) * 255).astype(np.uint8)
+            mask = np.zeros((48, 48), np.uint8)
+            mask[10:20, 10:20] = 85   # -> 1
+            mask[25:30, 25:30] = 212  # -> 2
+            mask[35:40, 35:40] = 255  # -> 3
+            for phase in ("train", "test"):
+                cv2.imwrite(str(tmp_path / f"{phase}A" / f"pat_{pat}_bSSFP_{i}.png"), img)
+                cv2.imwrite(str(tmp_path / f"{phase}Amask" / f"pat_{pat}_bSSFP_{i}.png"), mask)
+                cv2.imwrite(str(tmp_path / f"{phase}B" / f"pat_{pat}_lge_{i}.png"), img)
+                cv2.imwrite(str(tmp_path / f"{phase}Bmask" / f"pat_{pat}_lge_{i}.png"), mask)
+    ds = MSCMRSegDataset(str(tmp_path), "bssfp", domain="s", fold=1, crop=48)
+    assert len(ds) == 2  # pat 6 excluded from train (test fold)
+    img, mask, name = ds[0]
+    assert img.shape == (48, 48, 3) and img.max() <= 1.0
+    assert set(np.unique(mask)) <= {0, 1, 2, 3} and mask.max() == 3
+    ds_test = MSCMRSegDataset(str(tmp_path), "lge", domain="test", fold=1, crop=48)
+    assert len(ds_test) == 2  # only pat 6
+    cfg = Config()
+    cfg.data.dataset = "mscmrseg"
+    cfg.data.data_dir = str(tmp_path)
+    cfg.data.fold = 1
+    cfg.data.crop = 48
+    dsets = prepare_datasets_mscmrseg(cfg)
+    assert {"train_s", "train_t", "valid_t", "test_t", "test_s"} <= set(dsets)
