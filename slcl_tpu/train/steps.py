@@ -150,13 +150,14 @@ def _gan_step(cfg, model, disc, disc_aux, txs, gen_loss_fn):
             loss = 0.5 * L.bce_with_logits(o_s, 1.0) + 0.5 * L.bce_with_logits(o_t, 0.0)
             return loss, (o_s, o_t)
 
-        d_grads, (o_s, o_t) = jax.grad(d_loss_fn, has_aux=True)(state.d_main.params)
+        (d_loss, (o_s, o_t)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(state.d_main.params)
         d_opt = state.d_main.opt_state
         d_opt.hyperparams["learning_rate"] = sched["lr_dis"]
         d_updates, new_d_opt = txs["d_main"].update(d_grads, d_opt, state.d_main.params)
         d_params = optax.apply_updates(state.d_main.params, d_updates)
         metrics.update({
-            "loss_dis": d_loss_fn(state.d_main.params)[0],
+            "loss_dis": d_loss,
             "dis_acc_s": _d_acc(o_s, True),
             "dis_acc_t": _d_acc(o_t, False),
         })
@@ -174,7 +175,7 @@ def _gan_step(cfg, model, disc, disc_aux, txs, gen_loss_fn):
                 loss = 0.5 * L.bce_with_logits(o_s, 1.0) + 0.5 * L.bce_with_logits(o_t, 0.0)
                 return loss, (o_s, o_t)
 
-            da_grads, (oa_s, oa_t) = jax.grad(
+            (da_loss, (oa_s, oa_t)), da_grads = jax.value_and_grad(
                 d_aux_loss_fn, has_aux=True)(state.d_aux.params)
             da_opt = state.d_aux.opt_state
             da_opt.hyperparams["learning_rate"] = sched["lr_dis"]
@@ -182,7 +183,7 @@ def _gan_step(cfg, model, disc, disc_aux, txs, gen_loss_fn):
                 da_grads, da_opt, state.d_aux.params)
             da_params = optax.apply_updates(state.d_aux.params, da_updates)
             metrics.update({
-                "loss_dis_aux": d_aux_loss_fn(state.d_aux.params)[0],
+                "loss_dis_aux": da_loss,
                 "dis_aux_acc_s": _d_acc(oa_s, True),
                 "dis_aux_acc_t": _d_acc(oa_t, False),
             })
