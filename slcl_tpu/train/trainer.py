@@ -37,6 +37,12 @@ class Trainer:
         'test_t' (dataset objects with __len__/__getitem__). When None, the
         synthetic dataset is used (cfg.data.dataset == 'synthetic')."""
         self.cfg = cfg
+        # method-implied data requirements (mirrors the reference entry
+        # scripts' hardcoded flags) — must precede dataset construction
+        if cfg.method == "mccl" and not cfg.data.aug_counter:
+            cfg.data.aug_counter = True
+        if cfg.method == "adaptevery" and not cfg.data.vert:
+            cfg.data.vert = True
         self.apdx = build_apdx(cfg)
         self.out_dir = Path(cfg.run.out_dir) / self.apdx
         self.out_dir.mkdir(parents=True, exist_ok=True)
