@@ -87,20 +87,24 @@ class Loader:
             stop.set()
 
 
-def device_prefetch(batch_iter, size: int = 2):
+def device_prefetch(batch_iter, size: int = 2, put=None):
     """Overlap host->device transfer with compute: keep ``size`` batches'
     device transfers in flight ahead of the consumer. jax.device_put is
     async, so issuing the next batch's transfer before the current step's
     results are consumed pipelines PCIe/tunnel latency behind the TPU step
-    (the reference's pinned-memory + non_blocking copies, TPU-style)."""
+    (the reference's pinned-memory + non_blocking copies, TPU-style).
+
+    ``put`` overrides the per-array transfer (e.g. a NamedSharding
+    device_put for data-parallel meshes)."""
     import collections
 
     import jax
 
     queue = collections.deque()
+    put_one = put or jax.device_put
 
     def _put(batch):
-        return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+        return {k: (put_one(v) if isinstance(v, np.ndarray) else v)
                 for k, v in batch.items()}
 
     for batch in batch_iter:

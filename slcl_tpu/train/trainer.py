@@ -143,6 +143,26 @@ class Trainer:
         self.evaluator = Evaluator(self.model, eval_bs=cfg.data.eval_bs,
                                    klc=cfg.run.klc,
                                    num_classes=cfg.model.num_classes)
+        self._setup_mesh()
+
+    def _setup_mesh(self):
+        """Data-parallel mesh when >1 device: replicate the state, shard
+        batches over the 'data' axis (XLA inserts the collectives). The
+        global batch cfg.data.bs is divided across chips by sharding, so
+        recipes keep their semantics."""
+        self.mesh = None
+        if len(jax.devices()) <= 1 or self.cfg.method in ("pretrain_rain",):
+            return
+        from ..parallel.mesh import make_mesh, replicate_state
+        n = len(jax.devices())
+        if self.cfg.data.bs % n != 0:
+            print(f"[mesh] global batch {self.cfg.data.bs} not divisible by "
+                  f"{n} devices; staying single-device")
+            return
+        self.mesh = make_mesh(n, model_axis=max(self.cfg.mesh.model_axis, 1))
+        self.state = replicate_state(self.state, self.mesh)
+        print(f"[mesh] data-parallel over {n} devices "
+              f"(mesh {dict(self.mesh.shape)})")
 
     # ------------------------------------------------------------------
     def _build_ddfseg(self):
@@ -189,6 +209,7 @@ class Trainer:
                                      self.txs["d_seg"])})
         self.step_fn = make_ddfseg_step(cfg, self.ddfnet, self.segdecoder,
                                         d_s, d_t, d_seg, self.txs)
+        self._setup_mesh()
         # eval path: SegDecoder(content_encoder_s(x))
         ddfnet, segdecoder = self.ddfnet, self.segdecoder
 
@@ -258,6 +279,7 @@ class Trainer:
                                        train_arg=True)})
         self.step_fn = make_adaptevery_step(cfg, self.model, d_main, d_aux,
                                             d_ent, d_point, self.txs)
+        self._setup_mesh()
         model = self.model
 
         class _EvalWrap:
@@ -293,6 +315,7 @@ class Trainer:
                          batch_stats=v.get("batch_stats", {}),
                          opt_state=tx.init(v["params"])))
         self.step_fn = make_bcl_step(cfg, self.model, self.txs)
+        self._setup_mesh()
         self._bcl_plabels: Dict[str, np.ndarray] = {}
         model = self.model
 
@@ -391,11 +414,18 @@ class Trainer:
         sched_cont["fresh"] = jnp.asarray(0.0, jnp.float32)
 
         from ..data.loader import device_prefetch
+        put = None
+        if getattr(self, "mesh", None) is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            def put(v):  # noqa: F811 — shard batch dim over 'data'
+                spec = P("data", *([None] * (v.ndim - 1)))
+                return jax.device_put(v, NamedSharding(self.mesh, spec))
         acc: Dict[str, Any] = {}
         n = 0
         batches = ({k: v for k, v in b.items() if isinstance(v, np.ndarray)}
                    for b in self._epoch_batches())
-        for arrays in device_prefetch(batches, size=cfg.data.prefetch):
+        for arrays in device_prefetch(batches, size=cfg.data.prefetch, put=put):
             for it in range(eps_iters):
                 s = sched if it == 0 else sched_cont
                 self.state, metrics = self.step_fn(self.state, arrays, s)

@@ -72,3 +72,20 @@ def test_resume_via_restore_from(tmp_path):
     t2 = Trainer(cfg2)
     t2.train()
     assert int(t2.state.step) == 2 * steps_after_first
+
+
+def test_trainer_multidevice_mesh(tmp_path):
+    """On the 8-virtual-device CPU setup, the Trainer must pick up the mesh
+    and train data-parallel end-to-end."""
+    import jax
+    assert len(jax.devices()) == 8
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, method="mpscl", epochs=1)
+    cfg.data.bs = 8  # divisible by 8 devices
+    t = Trainer(cfg)
+    assert t.mesh is not None
+    summary = t.train()
+    assert "best_val_dice" in summary
+    # state stayed replicated and finite through the epoch
+    leaf = jax.tree.leaves(t.state.seg.params)[0]
+    assert bool(jnp.isfinite(leaf).all())
