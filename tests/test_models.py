@@ -129,3 +129,13 @@ def test_drunet_jit_and_grad():
     assert np.isfinite(float(loss))
     gnorm = sum(float(jnp.sum(g ** 2)) for g in jax.tree.leaves(grads))
     assert gnorm > 0
+
+
+def test_drunet_secondary_param_oracles():
+    """Reference DRUNet.py:186-187 config variants: 544,676 (f16,b3,d2) and
+    136,788 (f8,b3,d2) — validates the generalized channel plan."""
+    for kw, want in ((dict(filters=16, n_block=3, bottleneck_depth=2), 544_676),
+                     (dict(filters=8, n_block=3, bottleneck_depth=2), 136_788)):
+        m = DRUNet(dtype=jnp.float32, **kw)
+        v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), False)
+        assert _n_params(v) == want, kw
