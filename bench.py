@@ -67,8 +67,11 @@ def main():
 
     # compile + warmup; the scalar pull is a true device sync (on the
     # tunneled TPU in this environment block_until_ready can return early,
-    # so timing uses async dispatch + one forced readback at the end)
-    state, metrics = step(state, batch, sched)
+    # so timing uses async dispatch + one forced readback at the end).
+    # Several warmup steps: the first chained steps after compile pay
+    # allocator warm-up and run 3-4x slower than steady state.
+    for _ in range(6):
+        state, metrics = step(state, batch, sched)
     _ = float(metrics["seg_s"])
 
     iters = int(os.environ.get("BENCH_ITERS", "50"))

@@ -127,10 +127,13 @@ def target_soft_centroids(
 
     # per-class feature stddev around the (first-partition) centroid, for the
     # stdmin regulariser (reference kept `stddevs` as a placeholder; intent
-    # per Trainer_MCCL.py:347 `w_stdmin * sum(stddev_t)`)
-    diff = feats[:, None, :] - cents[0][None]                  # (M, C, F)
-    var = jnp.sum(weights[:, :, None] * diff * diff, axis=0) / (
-        jnp.sum(weights, axis=0)[:, None] + _EPS)              # (C, F)
+    # per Trainer_MCCL.py:347 `w_stdmin * sum(stddev_t)`). Computed via the
+    # sum-of-squares identity E[(f-c)^2] = E[f^2] - c^2 — two (C, M)x(M, F)
+    # matmuls instead of materializing an (M, C, F) tensor (which at
+    # 48x224^2 pixels would be ~1.2 GB and dominated the MCCL step time).
+    w_total = jnp.sum(weights, axis=0)[:, None] + _EPS         # (C, 1)
+    mean_sq = (weights.T @ (feats * feats)) / w_total          # (C, F)
+    var = jnp.maximum(mean_sq - cents[0] * cents[0], 0.0)
     stddevs = jnp.sqrt(jnp.mean(var, axis=-1) + _EPS)          # (C,)
 
     return CentroidResult(cents, ratio, stddevs)
