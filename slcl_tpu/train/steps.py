@@ -432,7 +432,10 @@ def make_mccl_step(cfg, model, txs, rain_model=None) -> Callable:
                 metrics["seg_style"] = loss_style
                 metrics["loss_consist"] = loss_consist
                 total = total + loss_style + cfg.rain.consist_w * loss_consist
-                seg_only = seg_only + loss_style
+                # epsilon ascent differentiates ONLY the stylized seg loss —
+                # the reference's samp_loss is captured before loss_seg_s is
+                # added (Trainer_MCCL.py:229-241)
+                seg_only = loss_style
 
             probs_t_all = jax.nn.softmax(pred_t_all.astype(jnp.float32), -1)
             probs_t, probs_t_aug = probs_t_all[:t_size], probs_t_all[t_size:]
