@@ -104,6 +104,7 @@ class DataConfig:
     aug_mode: str = "simple"          # simple | heavy | heavy2
     aug_counter: bool = False         # emit (img_t, img_t_aug) pairs (MCCL)
     vert: bool = False                # point-cloud vertices (AdaptEvery)
+    gap: float = 1.0                  # synthetic CT->MR domain-gap strength
     bs: int = BATCH_SIZE
     eval_bs: int = EVAL_BS
     num_workers: int = 4

