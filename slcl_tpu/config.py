@@ -188,6 +188,10 @@ class ContrastiveConfig:
     stdmin: bool = False
     w_stdmin: float = 0.0
     seg_pseudo: bool = False
+    # NOTE: the reference default is WARMUP_EPOCHS = EPOCHS (config.py:26)
+    # — contrastive terms stay off unless -warmup_epochs is passed. Here 0
+    # engages them immediately; set explicitly per recipe (early contrastive
+    # on immature pseudo-labels hurts — see examples/README.md).
     warmup_epochs: int = 0
 
 

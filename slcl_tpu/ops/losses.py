@@ -179,8 +179,8 @@ def centroid_contrastive_loss(
     centroid_t = _f32(centroid_t)
     n_class = centroid_s.shape[0]
     if norm:
-        centroid_s = centroid_s / (jnp.linalg.norm(centroid_s, axis=1, keepdims=True) + _EPS)
-        centroid_t = centroid_t / (jnp.linalg.norm(centroid_t, axis=1, keepdims=True) + _EPS)
+        centroid_s = centroid_s / (_safe_norm(centroid_s) + _EPS)
+        centroid_t = centroid_t / (_safe_norm(centroid_t) + _EPS)
     sim_st = centroid_t @ centroid_s.T
     sim_tt = centroid_t @ centroid_t.T
     if tau is not None:
@@ -201,13 +201,21 @@ def centroid_contrastive_loss(
     return jnp.sum(logit)
 
 
+def _safe_norm(x: Array, axis: int = 1, tiny: float = 1e-12) -> Array:
+    """L2 norm with a finite gradient at exactly-zero vectors (a class with
+    no confident pixels yields an all-zero centroid; torch/jnp norm both
+    produce NaN gradients there — the reference inherits that hazard)."""
+    sq = jnp.sum(x * x, axis=axis, keepdims=True)
+    return jnp.sqrt(jnp.maximum(sq, tiny * tiny))
+
+
 def cnr_loss(centroid_s: Array, centroid_t: Array) -> Array:
     """Centroid-Norm Regulariser: MSE between per-class centroid L2 norms.
 
     Parity: reference Trainer_MCCL.py:303-315.
     """
-    norm_s = jnp.linalg.norm(_f32(centroid_s), axis=1)
-    norm_t = jnp.linalg.norm(_f32(centroid_t), axis=1)
+    norm_s = _safe_norm(_f32(centroid_s))[:, 0]
+    norm_t = _safe_norm(_f32(centroid_t))[:, 0]
     return jnp.mean((norm_t - norm_s) ** 2)
 
 
