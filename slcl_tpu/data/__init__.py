@@ -21,6 +21,8 @@ def prepare_datasets(cfg):
                          cfg.data.seed + 2, gap=g),
             "test_t": S(2 * cfg.data.eval_bs, cfg.data.crop, trg,
                         cfg.data.seed + 3, gap=g),
+            "test_s": S(2 * cfg.data.eval_bs, cfg.data.crop, src,
+                        cfg.data.seed + 4, gap=g),
         }
     if name == "mmwhs":
         from .mmwhs import prepare_datasets_mmwhs

@@ -53,6 +53,10 @@ class Loader:
 
     def __iter__(self) -> Iterator[tuple]:
         idx = self._indices()
+        # propagate the epoch to the dataset so per-sample augmentation RNG
+        # can be derived deterministically from (seed, epoch, index)
+        if hasattr(self.ds, "set_epoch"):
+            self.ds.set_epoch(self.epoch)
         self.epoch += 1
         n_batches = len(self)
         batches = [idx[i * self.bs:(i + 1) * self.bs] for i in range(n_batches)]

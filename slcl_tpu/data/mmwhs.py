@@ -64,6 +64,7 @@ class MMWHSRawDataset:
         self.aug_mode = aug_mode
         self.aug_counter = aug_counter
         self.seed = seed
+        self._epoch = 0
 
         folder_type = "_withGT" if domain == "test" else "_woGT"
         self.img_dir = self.data_dir / f"{self.modality}{folder_type}"
@@ -78,6 +79,9 @@ class MMWHSRawDataset:
             if csv.exists():
                 import pandas as pd
                 self._mnmx = pd.read_csv(csv, index_col=0)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.image_paths)
@@ -108,7 +112,7 @@ class MMWHSRawDataset:
         else:
             mask = np.zeros((self.crop, self.crop), np.uint8)
 
-        rng = np.random.default_rng()
+        rng = T.sample_rng(self.seed, self._epoch, index)
         if self.aug_counter:
             # MCCL target pair: two independent augmentations of the slice
             # (data_generator_mmwhs.py:132-151)
@@ -144,6 +148,8 @@ class MMWHSPngDataset:
         self.aug = augmentation
         self.aug_mode = aug_mode
         self.aug_counter = aug_counter
+        self.seed = seed
+        self._epoch = 0
         phase = "test" if domain == "test" else "train"
         sub = "A" if self.modality == "ct" else "B"
         self.img_dir = self.data_dir / f"{phase}{sub}"
@@ -155,6 +161,9 @@ class MMWHSPngDataset:
                 fp = self.img_dir / f"pat_{p}_{self.modality}_{i}.png"
                 if fp.exists():
                     self.items.append(fp)
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
 
     def __len__(self):
         return len(self.items)
@@ -172,7 +181,7 @@ class MMWHSPngDataset:
             img = T.normalize_zscore(img)
         img = T.crop_resize(img, (self.crop, self.crop))
         mask = T.crop_resize(mask, (self.crop, self.crop), is_mask=True)
-        rng = np.random.default_rng()
+        rng = T.sample_rng(self.seed, self._epoch, index)
         if self.aug_counter:
             a, _ = T.simple_aug(img, mask, rng)
             b, _ = T.simple_aug(img, mask, rng)

@@ -29,6 +29,8 @@ class MSCMRSegDataset:
         self.aug = augmentation
         self.aug_mode = aug_mode
         self.aug_counter = aug_counter
+        self.seed = seed
+        self._epoch = 0
         phase = "test" if domain == "test" else "train"
         sub = "A" if self.modality in ("bssfp", "bSSFP".lower()) else "B"
         self.img_dir = self.data_dir / f"{phase}{sub}"
@@ -47,6 +49,9 @@ class MSCMRSegDataset:
         else:
             self.items = [p for p in items if pat_id(p) not in test_pats]
 
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+
     def __len__(self):
         return len(self.items)
 
@@ -60,7 +65,7 @@ class MSCMRSegDataset:
         img = img / 255.0 if self.normalization == "minmax" else T.normalize_zscore(img)
         img = T.crop_resize(img, (self.crop, self.crop))
         mask = T.crop_resize(mask, (self.crop, self.crop), is_mask=True)
-        rng = np.random.default_rng()
+        rng = T.sample_rng(self.seed, self._epoch, index)
         if self.aug_counter:
             a, _ = T.simple_aug(img, mask, rng)
             b, _ = T.simple_aug(img, mask, rng)

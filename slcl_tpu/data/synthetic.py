@@ -35,6 +35,10 @@ class SyntheticCardiacDataset:
         self.vert = vert
         self.n_points = n_points
         self.gap = gap
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
 
     def __len__(self):
         return self.n
@@ -97,11 +101,13 @@ class SyntheticCardiacDataset:
 
     def __getitem__(self, idx: int):
         # anatomy/appearance are deterministic per index (stable dataset
-        # identity); augmentation uses a FRESH rng so it varies across
-        # epochs like the real pipelines (a fixed per-index aug rng made the
-        # 128-slice synthetic set memorizable and killed generalization)
+        # identity); augmentation varies per EPOCH (a fixed per-index aug rng
+        # made the 128-slice synthetic set memorizable and killed
+        # generalization) but is seeded from (seed, epoch, index) so runs
+        # with the same config seed are reproducible
         rng = np.random.default_rng(self.seed * 100003 + idx)
-        aug_rng = np.random.default_rng()
+        aug_rng = np.random.default_rng(
+            [self.seed, 0x5EED, self._epoch, idx])
         mask = self._mask(rng)
         img = self._image(mask, rng)
         if self.aug:

@@ -13,6 +13,18 @@ import numpy as np
 from .nifti import read_nii
 
 
+def sample_rng(seed: int, epoch: int, index: int) -> np.random.Generator:
+    """Deterministic per-sample augmentation RNG from (run seed, epoch, index).
+
+    The reference draws augmentation randomness from the global numpy state
+    (unseeded per worker), so its runs are not reproducible; here every
+    sample's augmentation stream is pinned so two runs with the same config
+    seed produce identical batches (the Loader pushes the epoch via
+    ``dataset.set_epoch``).
+    """
+    return np.random.default_rng([abs(int(seed)), 0x5EED, int(epoch), int(index)])
+
+
 def load_raw_data_mmwhs(img_path, mask_path=None):
     """Decode one MMWHS raw slice pair.
 

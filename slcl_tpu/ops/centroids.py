@@ -41,6 +41,7 @@ def source_centroids(
     num_classes: int = 4,
     previous: Optional[Array] = None,
     momentum: float = 0.95,
+    bootstrap: Optional[Array] = None,
 ) -> Array:
     """Per-class masked feature means from hard labels, with optional EMA.
 
@@ -48,6 +49,13 @@ def source_centroids(
     :552-564): nearest-downsample labels to feature resolution, per-class mean
     ``sum(f * 1[y=k]) / (count_k + 1e-7)``, then
     ``momentum * previous + (1 - momentum) * current``.
+
+    ``bootstrap`` (traced bool): when true, return the raw batch means and
+    skip the EMA — used on the first step when ``previous`` is a zero
+    placeholder rather than loaded class centers (the reference seeds its EMA
+    from ``class_center_{mod}_f{fold}.npy``, Trainer_MPSCL.py:306-331; with a
+    zero seed the first EMA would scale centroids by (1 - momentum) and the
+    contrastive losses would see near-zero centers for many steps).
 
     decoder_ft: (N, H, W, F); labels: (N, H', W') int.
     Returns (C, F) float32.
@@ -60,7 +68,8 @@ def source_centroids(
     counts = jnp.sum(onehot, axis=0)[:, None]                  # (C, 1)
     cents = sums / (counts + _EPS)
     if previous is not None:
-        cents = momentum * previous.astype(jnp.float32) + (1.0 - momentum) * cents
+        ema = momentum * previous.astype(jnp.float32) + (1.0 - momentum) * cents
+        cents = ema if bootstrap is None else jnp.where(bootstrap, cents, ema)
     return cents
 
 
@@ -146,6 +155,7 @@ def update_class_center_iter(
     *,
     momentum: float = 0.9,
     num_classes: int = 4,
+    bootstrap: Optional[Array] = None,
 ) -> Array:
     """Iteration-wise EMA of source class centers, keeping previous centers
     for classes absent from the batch.
@@ -166,7 +176,12 @@ def update_class_center_iter(
     counts = jnp.sum(onehot, axis=0)[:, None]
     batch_means = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0),
                             class_centers.astype(jnp.float32))
-    return momentum * class_centers.astype(jnp.float32) + (1.0 - momentum) * batch_means
+    ema = momentum * class_centers.astype(jnp.float32) + (1.0 - momentum) * batch_means
+    if bootstrap is None:
+        return ema
+    # first-step bootstrap when centers were zero-initialized (see
+    # source_centroids): adopt the batch means outright
+    return jnp.where(bootstrap, batch_means, ema)
 
 
 def generate_pseudo_label(

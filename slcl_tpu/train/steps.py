@@ -293,7 +293,8 @@ def make_advent_step(cfg, model, disc, disc_aux, txs) -> Callable:
 # ---------------------------------------------------------------------------
 # MPSCL — the SLCL paper method on the margin-preserving path (train_SLCL.py)
 # ---------------------------------------------------------------------------
-def make_mpscl_step(cfg, model, disc, disc_aux, txs) -> Callable:
+def make_mpscl_step(cfg, model, disc, disc_aux, txs,
+                    centroids_loaded: bool = False) -> Callable:
     c = cfg.contrastive
 
     def gen_loss(params, state, batch, sched):
@@ -309,10 +310,12 @@ def make_mpscl_step(cfg, model, disc, disc_aux, txs) -> Callable:
                     + L.dice_loss(out_s.pred, labels_s))
         metrics = {"seg_s": loss_seg}
 
-        # EMA class centers from detached source features (:133-134)
+        # EMA class centers from detached source features (:133-134);
+        # zero-init fallback centers adopt the first batch means outright
         new_centroids = cen.update_class_center_iter(
             out_s.dcdr_ft, labels_s, state.centroids,
-            momentum=c.class_center_m, num_classes=cfg.model.num_classes)
+            momentum=c.class_center_m, num_classes=cfg.model.num_classes,
+            bootstrap=None if centroids_loaded else (state.step == 0))
         # cosine pseudo-labels + confidence mask (:135)
         plab_t, pmask_t = cen.generate_pseudo_label(
             out_t.dcdr_ft, new_centroids, pixel_sel_th=c.pixel_sel_th)
@@ -368,7 +371,8 @@ def make_mpscl_step(cfg, model, disc, disc_aux, txs) -> Callable:
 # ---------------------------------------------------------------------------
 # MCCL — SLCL proper: soft labels + reversed Monte Carlo + CNR
 # ---------------------------------------------------------------------------
-def make_mccl_step(cfg, model, txs, rain_model=None) -> Callable:
+def make_mccl_step(cfg, model, txs, rain_model=None,
+                   centroids_loaded: bool = False) -> Callable:
     c = cfg.contrastive
     P = max(int(c.part), 1)
     n_class = cfg.model.num_classes
@@ -444,10 +448,12 @@ def make_mccl_step(cfg, model, txs, rain_model=None) -> Callable:
                 metrics["loss_pseudo"] = lp
                 total = total + 0.5 * lp
 
-            # source centroids, EMA across steps (Trainer_MCCL.py:275-277)
+            # source centroids, EMA across steps (Trainer_MCCL.py:275-277);
+            # zero-init centers adopt the first batch means outright
             centroid_s = cen.source_centroids(
                 dcdr_s, labels_s, num_classes=n_class,
-                previous=state.centroids, momentum=c.ctd_mmt)
+                previous=state.centroids, momentum=c.ctd_mmt,
+                bootstrap=None if centroids_loaded else (state.step == 0))
             centroid_s = jax.lax.stop_gradient(centroid_s)
 
             # rMC soft target centroids (:281-295, repaired partitioning)
@@ -487,23 +493,35 @@ def make_mccl_step(cfg, model, txs, rain_model=None) -> Callable:
                 total = total + warm * c.w_stdmin * jnp.sum(res_t.stddevs)
             return total, (new_bs, centroid_s, metrics, seg_only)
 
-        grads, (new_bs, centroid_s, metrics, _) = jax.grad(
-            loss_fn, has_aux=True)(state.seg.params, sampling0)
-        opt_state = state.seg.opt_state
-        opt_state.hyperparams["learning_rate"] = sched["lr"]
-        updates, new_opt = txs["seg"].update(grads, opt_state, state.seg.params)
-        params = optax.apply_updates(state.seg.params, updates)
-
-        new_sampling = state.sampling
         if use_rain:
-            # epsilon ascent on the seg loss only (Trainer_MCCL.py:233-243,
-            # 349-351): sampling += (lr_eps / loss_seg) * d(loss_seg)/d(sampling)
-            seg_fn = lambda s: loss_fn(state.seg.params, s)[1][3]
-            seg_val, g_samp = jax.value_and_grad(seg_fn)(sampling0)
+            # ONE forward, two backwards off the same linearization — the
+            # functional equivalent of the reference's retain_graph reuse
+            # (Trainer_MCCL.py:229-243): cotangent (1,0) gives the full
+            # generator gradient, (0,1) gives d(stylized seg loss)/d(sampling)
+            # for the epsilon ascent.
+            def both(params, sampling):
+                total, (new_bs, cent, metrics, seg_only) = loss_fn(params, sampling)
+                return (total, seg_only), (new_bs, cent, metrics)
+
+            (totals, vjp_fn, (new_bs, centroid_s, metrics)) = jax.vjp(
+                both, state.seg.params, sampling0, has_aux=True)
+            total_val, seg_val = totals
+            one = jnp.ones_like(total_val)
+            zero = jnp.zeros_like(seg_val)
+            grads, _ = vjp_fn((one, zero))
+            _, g_samp = vjp_fn((zero, jnp.ones_like(seg_val)))
             new_sampling = jnp.where(
                 sched["eps_on"] > 0,
                 sampling0 + (cfg.optim.lr_eps / seg_val) * g_samp,
                 sampling0)
+        else:
+            grads, (new_bs, centroid_s, metrics, _) = jax.grad(
+                loss_fn, has_aux=True)(state.seg.params, sampling0)
+            new_sampling = state.sampling
+        opt_state = state.seg.opt_state
+        opt_state.hyperparams["learning_rate"] = sched["lr"]
+        updates, new_opt = txs["seg"].update(grads, opt_state, state.seg.params)
+        params = optax.apply_updates(state.seg.params, updates)
 
         new_state = state.replace(
             step=state.step + 1, rng=rng,
@@ -518,7 +536,7 @@ def make_mccl_step(cfg, model, txs, rain_model=None) -> Callable:
 # factory
 # ---------------------------------------------------------------------------
 def build_step(cfg, model, txs, disc=None, disc_aux=None,
-               rain_model=None) -> Callable:
+               rain_model=None, centroids_loaded: bool = False) -> Callable:
     m = cfg.method
     if m == "baseline":
         return make_baseline_step(cfg, model, txs)
@@ -527,9 +545,11 @@ def build_step(cfg, model, txs, disc=None, disc_aux=None,
     if m == "advent":
         return make_advent_step(cfg, model, disc, disc_aux, txs)
     if m in ("mpscl", "slcl"):
-        return make_mpscl_step(cfg, model, disc, disc_aux, txs)
+        return make_mpscl_step(cfg, model, disc, disc_aux, txs,
+                               centroids_loaded=centroids_loaded)
     if m == "mccl":
-        return make_mccl_step(cfg, model, txs, rain_model=rain_model)
+        return make_mccl_step(cfg, model, txs, rain_model=rain_model,
+                              centroids_loaded=centroids_loaded)
     if m == "rain":
         from .steps_rain import make_rain_seg_step
         return make_rain_seg_step(cfg, model, rain_model, txs)

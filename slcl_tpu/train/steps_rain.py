@@ -115,16 +115,23 @@ def make_rain_seg_step(cfg, seg_model, rain_model, txs) -> Callable:
             loss_seg = L.loss_calc(out.pred, label_cat, jaccard=True)
             return loss_seg, (loss_consist, new_bs)
 
-        def total_fn(params, sampling):
+        # ONE forward, two backwards off the same linearization — the
+        # functional equivalent of the reference's retain_graph reuse
+        # (Trainer_RAIN.py:133-147): cotangent (1,0) differentiates the full
+        # training loss; (0,1) gives d(loss_seg)/d(sampling) for the epsilon
+        # ascent (the consistency term is excluded, matching the reference's
+        # samp_loss = the seg loss alone).
+        def both(params, sampling):
             loss_seg, (loss_consist, new_bs) = seg_losses(params, sampling)
-            return loss_seg + consist_w * loss_consist, (loss_seg, loss_consist, new_bs)
+            total = loss_seg + consist_w * loss_consist
+            return (total, loss_seg), (loss_consist, new_bs)
 
-        (grads, g_sampling), (loss_seg, loss_consist, new_bs) = jax.grad(
-            total_fn, argnums=(0, 1), has_aux=True)(state.seg.params, sampling)
-        # epsilon ascent uses d(loss_seg)/d(sampling) (not the consistency
-        # term, Trainer_RAIN.py:133-147); the consistency term reaches
-        # sampling too in this combined grad — recompute the pure-seg grad
-        g_samp_seg = jax.grad(lambda s: seg_losses(state.seg.params, s)[0])(sampling)
+        ((_total, loss_seg), vjp_fn, (loss_consist, new_bs)) = jax.vjp(
+            both, state.seg.params, sampling, has_aux=True)
+        one = jnp.ones_like(loss_seg)
+        zero = jnp.zeros_like(loss_seg)
+        grads, _ = vjp_fn((one, zero))
+        _, g_samp_seg = vjp_fn((zero, one))
 
         opt_state = state.seg.opt_state
         opt_state.hyperparams["learning_rate"] = sched["lr"]

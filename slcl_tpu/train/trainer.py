@@ -31,6 +31,15 @@ from .steps import build_step
 _ADVERSARIAL = ("adaptseg", "advent", "mpscl", "slcl")
 
 
+def dataclasses_replace_fold(cfg: Config) -> Config:
+    """Copy of ``cfg`` pointing at the other MMWHS cross-validation fold
+    (the baseline's final test covers both folds, Trainer_baseline.py:308-339)."""
+    import copy
+    other = copy.deepcopy(cfg)
+    other.data.fold = 1 - cfg.data.fold
+    return other
+
+
 class Trainer:
     def __init__(self, cfg: Config, datasets: Optional[Dict[str, Any]] = None):
         """``datasets``: dict with keys 'train_s', 'train_t', 'valid_t',
@@ -119,14 +128,20 @@ class Trainer:
         self.disc, self.disc_aux = disc, disc_aux
 
         centroids = None
-        if cfg.method in ("mpscl", "slcl"):
+        self._centroids_loaded = False
+        if cfg.method in ("mpscl", "slcl", "mccl"):
             if cfg.contrastive.init_centers and os.path.exists(cfg.contrastive.init_centers):
                 centroids = jnp.asarray(np.load(cfg.contrastive.init_centers),
                                         jnp.float32)
+                self._centroids_loaded = True
             else:
-                # documented fallback: zero-init centers, warmed by the first
-                # EMA updates (reference loads class_center_{mod}_f{fold}.npy,
-                # Trainer_MPSCL.py:306-331)
+                # documented fallback: zero-init centers (reference loads
+                # class_center_{mod}_f{fold}.npy, Trainer_MPSCL.py:306-331);
+                # the jitted steps adopt the first batch means outright
+                # (bootstrap) so the EMA never sees the zero placeholder.
+                # Seeding MCCL here (instead of a None leaf) keeps the state
+                # PyTree structure fixed — a None->array flip between step 1
+                # and step 2 would retrace and recompile the step.
                 centroids = jnp.zeros((cfg.model.num_classes, cfg.model.filters),
                                       jnp.float32)
 
@@ -139,7 +154,8 @@ class Trainer:
                 extra={"rain": self._rain_params},
                 sampling=jnp.zeros((1, 512), jnp.float32))
         self.step_fn = build_step(cfg, self.model, self.txs, disc, disc_aux,
-                                  rain_model=self.rain_model)
+                                  rain_model=self.rain_model,
+                                  centroids_loaded=self._centroids_loaded)
         self.evaluator = Evaluator(self.model, eval_bs=cfg.data.eval_bs,
                                    klc=cfg.run.klc,
                                    num_classes=cfg.model.num_classes)
@@ -538,13 +554,28 @@ class Trainer:
             with open(self.out_dir / "summary.json", "w") as f:
                 json.dump(summary, f, indent=2)
             return summary
-        # final test with the best checkpoint (reference final eval,
-        # Trainer_MPSCL.py:434-453)
+        # final test with the best checkpoint: target AND source domains
+        # (reference Trainer_MPSCL.py:434-453, Trainer_baseline.py:308-339),
+        # plus the other MMWHS fold for the baseline's cross-fold table
         if self.best_epoch >= 0:
             self.restore_checkpoint("best")
         test_results = self.eval("test_t", toprint=True)
+        test_s_results = None
+        if "test_s" in self.datasets:
+            test_s_results = self.eval("test_s", toprint=True)
+        test_other = None
+        if cfg.method == "baseline" and cfg.data.dataset == "mmwhs":
+            try:
+                other = dataclasses_replace_fold(cfg)
+                from .. import data as data_mod
+                ds = data_mod.prepare_datasets(other)["test_t"]
+                self.datasets["test_t_other_fold"] = ds
+                test_other = self.eval("test_t_other_fold", toprint=True)
+            except Exception as e:  # other fold's files may be absent
+                print(f"other-fold eval skipped ({e})")
         summary = {"best_epoch": self.best_epoch, "best_val_dice": self.best_score,
-                   "test": test_results, "history": self.history}
+                   "test": test_results, "test_s": test_s_results,
+                   "test_t_other_fold": test_other, "history": self.history}
         with open(self.out_dir / "summary.json", "w") as f:
             json.dump(summary, f, indent=2)
         return summary

@@ -170,3 +170,34 @@ def test_mask_fusion_and_accuracy(rng):
     acc, prop = centroids.pseudo_label_accuracy(jnp.asarray(fused), jnp.asarray(a))
     assert float(acc) == 1.0
     assert float(prop) == pytest.approx(15 / 16)
+
+
+def test_source_centroids_bootstrap_skips_ema(rng):
+    """With bootstrap=True the first step adopts batch means outright (zero
+    placeholder centers never enter the EMA)."""
+    import jax.numpy as jnp
+    from slcl_tpu.ops.centroids import source_centroids
+    feats = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, size=(2, 8, 8)))
+    prev = jnp.zeros((4, 16), jnp.float32)
+    fresh = source_centroids(feats, labels, num_classes=4)
+    booted = source_centroids(feats, labels, num_classes=4, previous=prev,
+                              momentum=0.9, bootstrap=jnp.asarray(True))
+    np.testing.assert_allclose(np.asarray(booted), np.asarray(fresh), rtol=1e-6)
+    ema = source_centroids(feats, labels, num_classes=4, previous=prev,
+                           momentum=0.9, bootstrap=jnp.asarray(False))
+    np.testing.assert_allclose(np.asarray(ema), 0.1 * np.asarray(fresh),
+                               rtol=1e-5)
+
+
+def test_update_class_center_iter_bootstrap(rng):
+    import jax.numpy as jnp
+    from slcl_tpu.ops.centroids import update_class_center_iter
+    feats = jnp.asarray(rng.normal(size=(2, 8, 8, 16)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 4, size=(2, 8, 8)))
+    zeros = jnp.zeros((4, 16), jnp.float32)
+    booted = update_class_center_iter(feats, labels, zeros, momentum=0.9,
+                                      bootstrap=jnp.asarray(True))
+    ema = update_class_center_iter(feats, labels, zeros, momentum=0.9)
+    np.testing.assert_allclose(np.asarray(ema), 0.1 * np.asarray(booted),
+                               rtol=1e-5)

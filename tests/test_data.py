@@ -177,3 +177,44 @@ def test_mscmrseg_png_pipeline(tmp_path, rng):
     cfg.data.crop = 48
     dsets = prepare_datasets_mscmrseg(cfg)
     assert {"train_s", "train_t", "valid_t", "test_t", "test_s"} <= set(dsets)
+
+
+def test_dataset_rng_reproducible_across_runs():
+    """Two loaders with the same seed produce identical first-epoch batches,
+    and augmentation still varies across epochs (VERDICT round-1 item 10)."""
+    from slcl_tpu.data.loader import Loader
+    from slcl_tpu.data.synthetic import SyntheticCardiacDataset
+
+    def first_batches(n_epochs=2):
+        ds = SyntheticCardiacDataset(8, 32, "ct", seed=7, augmentation=True)
+        loader = Loader(ds, 4, seed=3, num_threads=1)
+        return [next(iter(loader))[0] for _ in range(n_epochs)]
+
+    a = first_batches()
+    b = first_batches()
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    assert not np.array_equal(a[0], a[1])  # augmentation varies per epoch
+
+
+def test_mmwhs_png_rng_reproducible(tmp_path, rng):
+    import cv2
+    from slcl_tpu.data.mmwhs import MMWHSPngDataset
+    img_dir = tmp_path / "trainA"
+    lab_dir = tmp_path / "trainAmask"
+    img_dir.mkdir(), lab_dir.mkdir()
+    for p in (2, 3):
+        for i in range(2):
+            cv2.imwrite(str(img_dir / f"pat_{p}_ct_{i}.png"),
+                        rng.integers(0, 255, (40, 40), np.uint8))
+            cv2.imwrite(str(lab_dir / f"pat_{p}_ct_{i}.png"),
+                        np.full((40, 40), 87, np.uint8))
+
+    def grab(epoch):
+        ds = MMWHSPngDataset(str(tmp_path), "ct", "s", fold=0,
+                             augmentation=True, seed=11)
+        ds.set_epoch(epoch)
+        return ds[0][0]
+
+    np.testing.assert_array_equal(grab(0), grab(0))
+    assert not np.array_equal(grab(0), grab(1))
