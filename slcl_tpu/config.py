@@ -123,7 +123,10 @@ class ModelConfig:
     multilvl: bool = False            # auxiliary classifier head
     layers: Tuple[int, ...] = ()      # ResNet stage depths override (tests)
     phead: bool = False               # projection head on decoder features
-    pretrained: bool = False
+    pretrained: bool = False          # load ImageNet encoder weights
+    # torch .pth (torchvision ResNet naming) or converted .npz produced by
+    # scripts/convert_torch.py; consumed when pretrained=True
+    pretrained_ckpt: str = ""
     dtype: str = "bfloat16"           # activation dtype on TPU
     remat: bool = False               # rematerialize the segmentor forward
                                       # (trade FLOPs for HBM at large batch)

@@ -103,10 +103,16 @@ def asd(gt: np.ndarray, pred: np.ndarray,
 
 def assd(gt: np.ndarray, pred: np.ndarray,
          spacing: Sequence[float] = None) -> float:
-    """Average symmetric surface distance (medpy.assd parity)."""
+    """Average symmetric surface distance (medpy.assd parity).
+
+    medpy defines assd as the mean of the two *directed means*
+    (``mean((asd(a, b), asd(b, a)))``), NOT the mean over the pooled
+    distance multiset — the two differ whenever the border voxel counts
+    differ. hd95, by contrast, pools before taking the percentile.
+    """
     d1 = _directed_surface_distances(gt, pred, spacing)
     d2 = _directed_surface_distances(pred, gt, spacing)
-    return float(np.hstack([d1, d2]).mean())
+    return float((d1.mean() + d2.mean()) / 2.0)
 
 
 def dc(gt: np.ndarray, pred: np.ndarray) -> float:

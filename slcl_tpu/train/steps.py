@@ -467,6 +467,21 @@ def make_mccl_step(cfg, model, txs, rain_model=None,
             metrics["ratio_t"] = res_t.ratio
             metrics["ratio_t_aug"] = res_ta.ratio
 
+            # --- on-device diagnostics (cheap (C,F)-level reductions) ---
+            # conf_t: mean target confidence = pseudo-label maturity;
+            # align_st: mean fg cosine(t_i, s_i) (adaptation progress);
+            # spread_tt: mean off-diag fg cosine(t_i, t_j) (collapse indicator)
+            metrics["conf_t"] = jnp.mean(jnp.max(probs_t, axis=-1))
+            nrm = lambda z: z / (jnp.linalg.norm(z, axis=-1, keepdims=True) + 1e-12)
+            t0 = jax.lax.stop_gradient(nrm(res_t.centroids[0]))
+            s0 = nrm(centroid_s)
+            cos_st = t0 @ s0.T
+            cos_tt = t0 @ t0.T
+            fg = jnp.arange(n_class) >= 1
+            metrics["align_st"] = jnp.sum(jnp.diag(cos_st) * fg) / jnp.sum(fg)
+            off = (1.0 - jnp.eye(n_class)) * jnp.outer(fg, fg)
+            metrics["spread_tt"] = jnp.sum(cos_tt * off) / jnp.sum(off)
+
             # CNR (:303-315) + inter/intra contrastive (:317-332), averaged
             # over the P partitions
             cnr = jnp.zeros((), jnp.float32)

@@ -81,15 +81,28 @@ class Trainer:
                 {"params": _jax.random.PRNGKey(cfg.run.seed + 7),
                  "noise": _jax.random.PRNGKey(cfg.run.seed + 8)}, x0, x0)
             rain_params = rv["params"]
+            from ..utils import torch_convert as tc
+            converters = {"encoder": tc.convert_vgg_rain_encoder,
+                          "decoder": tc.convert_rain_decoder,
+                          "fc_encoder": tc.convert_rain_fc,
+                          "fc_decoder": tc.convert_rain_fc}
             for name, path in (("encoder", cfg.rain.vgg_ckpt),
                                ("decoder", cfg.rain.decoder_ckpt),
                                ("fc_encoder", cfg.rain.fc_encoder_ckpt),
                                ("fc_decoder", cfg.rain.fc_decoder_ckpt)):
                 if path and os.path.exists(path):
-                    loaded = dict(np.load(path, allow_pickle=True))
+                    if str(path).endswith((".pth", ".pt")):
+                        # torch checkpoints (reference load_rain_models
+                        # inputs, model/RAIN.py:124-157) convert on the fly
+                        sub = converters[name](tc.load_state_dict(path))
+                    else:
+                        sub = tc.load_tree_npz(path)["params"]
+                    merged, report = tc.merge_pretrained(rain_params[name], sub)
                     rain_params = dict(rain_params)
-                    rain_params[name] = _jax.tree.map(jnp.asarray,
-                                                      loaded["params"].item())
+                    rain_params[name] = _jax.tree.map(jnp.asarray, merged)
+                    n_loaded = sum(not r.startswith("!") for r in report)
+                    print(f"[rain] loaded {n_loaded} tensors into {name} "
+                          f"from {path}")
         self._rain_params = rain_params
 
         if cfg.method == "pretrain_rain":
@@ -149,6 +162,7 @@ class Trainer:
         self.state, self.txs = create_train_state(
             cfg, self.model, disc=disc, disc_aux=disc_aux,
             sample_shape=sample_shape, centroids=centroids)
+        self._load_pretrained_encoder()
         if self._rain_params is not None:
             self.state = self.state.replace(
                 extra={"rain": self._rain_params},
@@ -160,6 +174,42 @@ class Trainer:
                                    klc=cfg.run.klc,
                                    num_classes=cfg.model.num_classes)
         self._setup_mesh()
+
+    def _load_pretrained_encoder(self):
+        """ImageNet (or any torchvision-format) encoder init for the
+        ResNet-backed segmentors — the smp ``encoder_weights='imagenet'``
+        equivalent (reference model/segmentation_models.py:26-33,
+        train_baseline.py:27-42 hardcodes ``pretrained``)."""
+        cfg = self.cfg
+        if not cfg.model.pretrained:
+            return
+        backbone = cfg.model.backbone.lower()
+        if backbone not in ("resnet50_unet", "resnet50", "deeplabv2"):
+            print(f"[pretrained] backbone {backbone!r} has no ImageNet "
+                  "encoder import; training from scratch")
+            return
+        path = cfg.model.pretrained_ckpt
+        if not path or not os.path.exists(path):
+            print("[pretrained] model.pretrained=true but no checkpoint at "
+                  f"{path!r} (set model.pretrained_ckpt to a torchvision "
+                  "resnet .pth or a converted .npz); training from scratch")
+            return
+        from ..utils import torch_convert as tc
+        layers = tuple(cfg.model.layers) or None
+        enc_params, enc_bstats = tc.load_pretrained_encoder(
+            path, backbone, layers)
+        params, report = tc.merge_pretrained(self.state.seg.params, enc_params)
+        bstats = self.state.seg.batch_stats
+        if enc_bstats:
+            bstats, brep = tc.merge_pretrained(bstats, enc_bstats)
+            report += brep
+        params = jax.tree.map(jnp.asarray, params)
+        bstats = jax.tree.map(jnp.asarray, bstats)
+        self.state = self.state.replace(
+            seg=self.state.seg.replace(params=params, batch_stats=bstats))
+        missing = [r for r in report if r.startswith("!")]
+        print(f"[pretrained] loaded {len(report) - len(missing)} tensors "
+              f"from {path}" + (f"; unmatched: {missing}" if missing else ""))
 
     def _setup_mesh(self):
         """Data-parallel mesh when >1 device: replicate the state, shard
