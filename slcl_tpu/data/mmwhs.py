@@ -128,6 +128,8 @@ class MMWHSRawDataset:
     def _augment(self, img, mask, rng):
         if self.aug_mode == "simple":
             return T.simple_aug(img, mask, rng)
+        if "2" in self.aug_mode:
+            return T.heavy_aug2(img, mask, rng)
         return T.heavy_aug(img, mask, rng)
 
 
@@ -188,8 +190,16 @@ class MMWHSPngDataset:
             return (np.stack([a] * 3, -1).astype(np.float32),
                     np.stack([b] * 3, -1).astype(np.float32), fp.name)
         if self.aug:
-            img, mask = (T.simple_aug(img, mask, rng) if self.aug_mode == "simple"
-                         else T.heavy_aug(img, mask, rng))
+            if self.aug_mode == "simple":
+                img, mask = T.simple_aug(img, mask, rng)
+            else:
+                aug = T.heavy_aug2 if "2" in self.aug_mode else T.heavy_aug
+                img, mask = aug(img, mask, rng)
+                # heavy modes add elastic deformation at 50%
+                # (data_generator_mmwhs.py:111-114)
+                if rng.random() < 0.5:
+                    img, mask = T.elastic_deform(img, mask, rng,
+                                                 sigma=rng.uniform(1, 7))
         return (np.stack([img] * 3, -1).astype(np.float32),
                 mask.astype(np.int64), fp.name)
 

@@ -72,8 +72,12 @@ class MSCMRSegDataset:
             return (np.stack([a] * 3, -1).astype(np.float32),
                     np.stack([b] * 3, -1).astype(np.float32), fp.name)
         if self.aug:
-            img, mask = (T.simple_aug(img, mask, rng) if self.aug_mode == "simple"
-                         else T.heavy_aug(img, mask, rng))
+            if self.aug_mode == "simple":
+                img, mask = T.simple_aug(img, mask, rng)
+            elif "2" in self.aug_mode:
+                img, mask = T.heavy_aug2(img, mask, rng)
+            else:
+                img, mask = T.heavy_aug(img, mask, rng)
         return (np.stack([img] * 3, -1).astype(np.float32),
                 mask.astype(np.int64), fp.name)
 

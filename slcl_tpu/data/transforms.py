@@ -163,3 +163,164 @@ def heavy_aug(image: np.ndarray, mask: Optional[np.ndarray],
     if rng.random() < 0.5:  # linear contrast
         img = img * rng.uniform(0.8, 1.2)
     return img, msk
+
+
+# ---------------------------------------------------------------------------
+# heavy_aug2: native equivalents of the reference's extended imgaug pipeline
+# (data_generator_mscmrseg.py:152-238 '2' branch). imgaug is not in this
+# image; each op is an independent implementation of the documented effect,
+# applied with the reference's Sometimes(0.5)/SomeOf structure. Geometric ops
+# transform the mask with nearest-neighbour; photometric ops leave it.
+# ---------------------------------------------------------------------------
+def superpixels(image: np.ndarray, rng: np.random.Generator,
+                n_segments: int = 64, p_replace: float = 0.5,
+                iters: int = 2) -> np.ndarray:
+    """SLIC-lite superpixel replacement (iaa.Superpixels equivalent):
+    grid-seeded (y, x, intensity) k-means for a few Lloyd iterations, then
+    each segment is replaced by its mean intensity with prob ``p_replace``."""
+    h, w = image.shape[:2]
+    g = max(int(np.sqrt(n_segments)), 2)
+    ys = np.linspace(0, h - 1, g)
+    xs = np.linspace(0, w - 1, g)
+    cy, cx = np.meshgrid(ys, xs, indexing="ij")
+    cy, cx = cy.ravel(), cx.ravel()
+    img = image.astype(np.float32)
+    gray = img if img.ndim == 2 else img.mean(-1)
+    cv = gray[cy.astype(int), cx.astype(int)]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # spatial scale ~ cell size; intensity scale ~ dynamic range
+    s_sp = max(h, w) / g
+    s_in = max(float(gray.max() - gray.min()), 1e-6)
+    for _ in range(iters):
+        d = ((yy[..., None] - cy) ** 2 + (xx[..., None] - cx) ** 2) / s_sp**2 \
+            + ((gray[..., None] - cv) ** 2) / (0.3 * s_in) ** 2
+        assign = np.argmin(d, axis=-1)
+        for k in range(len(cy)):
+            m = assign == k
+            if m.any():
+                cy[k], cx[k] = yy[m].mean(), xx[m].mean()
+                cv[k] = gray[m].mean()
+    out = img.copy()
+    for k in range(len(cy)):
+        if rng.random() < p_replace:
+            m = assign == k
+            if m.any():
+                out[m] = img[m].mean(axis=0)
+    return out
+
+
+def piecewise_affine(image: np.ndarray, mask: Optional[np.ndarray],
+                     rng: np.random.Generator, scale: float = 0.03,
+                     grid: int = 4):
+    """iaa.PiecewiseAffine equivalent: a (grid x grid) lattice of control
+    points jittered by N(0, scale * size), displacement field densified with
+    cubic resize, sampled by cv2.remap (image linear, mask nearest)."""
+    h, w = image.shape[:2]
+    dy = rng.normal(0, scale * h, (grid, grid)).astype(np.float32)
+    dx = rng.normal(0, scale * w, (grid, grid)).astype(np.float32)
+    dy = cv2.resize(dy, (w, h), interpolation=cv2.INTER_CUBIC)
+    dx = cv2.resize(dx, (w, h), interpolation=cv2.INTER_CUBIC)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    map_x, map_y = xx + dx, yy + dy
+    img = cv2.remap(image.astype(np.float32), map_x, map_y, cv2.INTER_LINEAR,
+                    borderMode=cv2.BORDER_CONSTANT,
+                    borderValue=float(image.min()))
+    msk = mask
+    if mask is not None:
+        msk = cv2.remap(mask.astype(np.float32), map_x, map_y,
+                        cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
+                        borderValue=0).astype(mask.dtype)
+    return img, msk
+
+
+def elastic_deform(image: np.ndarray, mask: Optional[np.ndarray],
+                   rng: np.random.Generator, sigma: float = 4.0,
+                   points: int = 3, order: int = 0):
+    """elasticdeform.deform_random_grid equivalent (reference
+    data_generator_mmwhs.py:111-114): a coarse (points x points) displacement
+    grid ~ N(0, sigma), spline-densified to full resolution, applied with
+    ``order`` interpolation (the reference uses order=0 for BOTH image and
+    mask, mode='constant')."""
+    h, w = image.shape[:2]
+    dy = rng.normal(0, sigma, (points, points)).astype(np.float32)
+    dx = rng.normal(0, sigma, (points, points)).astype(np.float32)
+    dy = cv2.resize(dy, (w, h), interpolation=cv2.INTER_CUBIC)
+    dx = cv2.resize(dx, (w, h), interpolation=cv2.INTER_CUBIC)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    interp = cv2.INTER_NEAREST if order == 0 else cv2.INTER_LINEAR
+    map_x, map_y = xx + dx, yy + dy
+    img = cv2.remap(image.astype(np.float32), map_x, map_y, interp,
+                    borderMode=cv2.BORDER_CONSTANT, borderValue=0.0)
+    msk = mask
+    if mask is not None:
+        msk = cv2.remap(mask.astype(np.float32), map_x, map_y,
+                        cv2.INTER_NEAREST, borderMode=cv2.BORDER_CONSTANT,
+                        borderValue=0).astype(mask.dtype)
+    return img, msk
+
+
+def _sharpen(img: np.ndarray, rng: np.random.Generator,
+             vmax: float) -> np.ndarray:
+    alpha = rng.uniform(0.0, 1.0)
+    lightness = rng.uniform(0.75, 1.5)
+    blurred = cv2.GaussianBlur(img, (3, 3), 1.0)
+    sharp = img + lightness * (img - blurred)
+    return (1 - alpha) * img + alpha * sharp
+
+
+def _emboss(img: np.ndarray, rng: np.random.Generator,
+            vmax: float) -> np.ndarray:
+    alpha = rng.uniform(0.0, 1.0)
+    s = rng.uniform(0.0, 2.0)
+    k = np.array([[-s, -s, 0], [-s, 1, s], [0, s, s]], np.float32)
+    emb = cv2.filter2D(img, -1, k)
+    return (1 - alpha) * img + alpha * emb
+
+
+def _edge_detect(img: np.ndarray, rng: np.random.Generator,
+                 vmax: float) -> np.ndarray:
+    alpha = rng.uniform(0.0, 0.7)
+    if rng.random() < 0.5:  # sobel magnitude
+        gx = cv2.Sobel(img, cv2.CV_32F, 1, 0)
+        gy = cv2.Sobel(img, cv2.CV_32F, 0, 1)
+        edges = np.sqrt(gx * gx + gy * gy)
+    else:  # directed first-difference
+        theta = rng.uniform(0, 2 * np.pi)
+        k = np.zeros((3, 3), np.float32)
+        k[1, 1] = -1.0
+        k[1 + int(round(np.sin(theta))), 1 + int(round(np.cos(theta)))] = 1.0
+        edges = np.abs(cv2.filter2D(img, -1, k))
+    edges = np.clip(edges, 0, vmax)
+    return (1 - alpha) * img + alpha * edges
+
+
+def heavy_aug2(image: np.ndarray, mask: Optional[np.ndarray],
+               rng: Optional[np.random.Generator] = None, vmax: float = 1.0):
+    """Extended heavy augmentation (reference heavy_aug2,
+    data_generator_mscmrseg.py:185-214): flips/rot90/affine plus up to 3 of
+    {blur, noise, dropout, superpixels, sharpen, emboss, edge-detect, invert,
+    add, multiply, contrast, piecewise-affine} per sample."""
+    rng = rng or np.random.default_rng()
+    img, msk = heavy_aug(image, mask, rng, vmax=vmax)  # shared geometric+base
+    ops = []
+    if rng.random() < 0.25:     # Sometimes(0.5) * inner Sometimes(0.5)
+        ops.append(lambda im: superpixels(
+            im, rng, n_segments=int(rng.integers(20, 200)),
+            p_replace=rng.uniform(0, 1)))
+    ops.append(lambda im: _sharpen(im, rng, vmax))
+    ops.append(lambda im: _emboss(im, rng, vmax))
+    if rng.random() < 0.5:
+        ops.append(lambda im: _edge_detect(im, rng, vmax))
+    if rng.random() < 0.05:     # iaa.Invert(0.05)
+        ops.append(lambda im: vmax - im)
+    ops.append(lambda im: im + rng.uniform(-0.04, 0.04) * vmax)     # Add
+    ops.append(lambda im: im * rng.uniform(0.5, 1.5))               # Multiply
+    ops.append(lambda im: (im - im.mean()) * rng.uniform(0.5, 2.0)
+               + im.mean())                                          # contrast
+    rng.shuffle(ops)
+    for op in ops[:int(rng.integers(0, 4))]:
+        img = op(img).astype(np.float32)
+    if rng.random() < 0.25:     # Sometimes(PiecewiseAffine)
+        img, msk = piecewise_affine(img, msk, rng,
+                                    scale=rng.uniform(0.01, 0.05))
+    return img, msk
