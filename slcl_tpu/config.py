@@ -186,6 +186,14 @@ class ContrastiveConfig:
     thd: float = 0.0                  # confidence threshold for soft centroids
     contrast_split: bool = False
     bg: bool = False                  # include background row in contrastive
+    # Reference-exact MCCL runs ONE forward over concat([style, src, trg,
+    # trg_aug]) (Trainer_MCCL.py:217/:246), which couples BatchNorm batch
+    # statistics across domains. Measured on the synthetic benchmark this
+    # coupling alone costs 2.3x target dice during pure source training
+    # (examples/README.md, runs e2 vs e3), so the default here is two
+    # domain-pure forwards ([style, src] then [trg, trg_aug]); set
+    # concat_forward=true for the reference-exact computation.
+    concat_forward: bool = False
     CNR: bool = False                 # centroid-norm regulariser
     CNR_w: float = 4e-5
     stdmin: bool = False
@@ -240,6 +248,16 @@ class RunConfig:
     restore_from: str = ""
     log_metrics_every: int = 1
     klc: bool = True                  # keep-largest-connected-component postproc
+    # per-epoch validation entirely on device (dice only, no KLC): one
+    # readback per epoch instead of label-map pulls; the final test always
+    # uses the full host path with KLC + surface metrics
+    fast_val: bool = False
+    # >1: run K train steps per dispatch via lax.scan over K stacked batches
+    # (steps.make_multi_step) — amortizes host->device dispatch, the dominant
+    # per-step overhead on tunneled TPUs. Leftover (<K) batches at epoch end
+    # run through the plain step. Ignored when the RAIN eps loop is active
+    # (eps_iters>1 alternates sched between iterations).
+    scan_steps: int = 1
     # BCL self-training rounds (reference Trainer_BCL: per-round pseudo-label
     # regeneration with class-balanced thresholds, LR halved per round)
     bcl_round_epochs: int = 10

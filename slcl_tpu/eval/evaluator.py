@@ -115,6 +115,45 @@ class Evaluator:
         preds = [np.asarray(p) for p in preds]
         return np.concatenate(preds), np.concatenate(gts)
 
+    def _build_dice(self):
+        model = self.model
+        C = self.num_classes
+
+        @jax.jit
+        def dice_batch(variables, x, gt):
+            out = model.apply(variables, x, False)
+            logits = out.pred if self.pred_index == 0 else out.aux
+            pred = jnp.argmax(logits.astype(jnp.float32), axis=-1)
+            p1 = jax.nn.one_hot(pred.reshape(pred.shape[0], -1), C,
+                                dtype=jnp.float32)
+            g1 = jax.nn.one_hot(gt.reshape(gt.shape[0], -1), C,
+                                dtype=jnp.float32)
+            inter = jnp.sum(p1 * g1, axis=1)                 # (B, C)
+            denom = jnp.sum(p1, axis=1) + jnp.sum(g1, axis=1)
+            return jnp.where(denom > 0, 2.0 * inter / denom, 0.0)
+
+        return dice_batch
+
+    def evaluate_fast(self, variables, loader) -> Dict[str, list]:
+        """Dice-only validation computed entirely on device: one scalar-array
+        readback per epoch instead of a full label-map pull + host loop
+        (PERF.md 'on-device dice' headroom item). No KLC postprocessing —
+        use only for per-epoch checkpoint selection, never the final table."""
+        if not hasattr(self, "_dice") or self._dice is None:
+            self._dice = self._build_dice()
+        chunks = []
+        for img, mask, _names in loader:
+            chunks.append(self._dice(variables, jax.device_put(img),
+                                     jax.device_put(mask.astype(np.int32))))
+        all_dice = np.concatenate([np.asarray(c) for c in chunks])  # (N, C)
+        out = {"dc": [], "hd": [], "asd": []}
+        for c in range(1, self.num_classes):
+            vals = all_dice[:, c]
+            out["dc"].extend([float(vals.mean()), float(vals.std())])
+            out["hd"].extend([0.0, 0.0])
+            out["asd"].extend([0.0, 0.0])
+        return out
+
     def evaluate_single_dataset(self, variables, loader, *, ifhd=True,
                                 ifasd=True, toprint=False) -> Dict[str, list]:
         preds, gts = self.predict(variables, loader)

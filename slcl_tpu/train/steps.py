@@ -382,14 +382,25 @@ def make_mccl_step(cfg, model, txs, rain_model=None,
     def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
         rng, rng_part, rng_noise = jax.random.split(state.rng, 3)
 
+        def rain_pair(img_s, img_t):
+            # stylization operands (Trainer_MCCL.py:196-202): default one
+            # content/style image; mulstyle = whole batch of both; mulstyle2
+            # = whole content batch, one style image (mulstyle2 wins when
+            # both set, matching the reference's if/elif order)
+            if cfg.rain.mulstyle2:
+                return img_s, img_t[0:1]
+            if cfg.rain.mulstyle:
+                return img_s, img_t
+            return img_s[0:1], img_t[0:1]
+
         if use_rain:
-            # RAIN stylization (Trainer_MCCL.py:196-216): content img_s[0:1],
-            # style img_t[0:1]; sampling carried for the epsilon ascent
+            # RAIN stylization (Trainer_MCCL.py:196-216); sampling carried
+            # for the epsilon ascent
             rain_params = state.extra["rain"]
+            rc0, rs0 = rain_pair(batch["img_s"], batch["img_t"])
             _, fresh = rain_model.apply(
-                {"params": rain_params}, batch["img_s"][0:1],
-                batch["img_t"][0:1], None, method="style_transfer",
-                rngs={"noise": rng_noise})
+                {"params": rain_params}, rc0, rs0, None,
+                method="style_transfer", rngs={"noise": rng_noise})
             sampling0 = jnp.where(sched["fresh"] > 0, fresh, state.sampling)
         else:
             sampling0 = state.sampling
@@ -401,25 +412,48 @@ def make_mccl_step(cfg, model, txs, rain_model=None,
             s_size, t_size = img_s.shape[0], img_t.shape[0]
 
             style_size = 0
+            img_style = None
             if use_rain:
                 from .steps_rain import stylized_to_gray3
+                rc, rs = rain_pair(img_s, img_t)
                 img_style, _ = rain_model.apply(
-                    {"params": state.extra["rain"]}, img_s[0:1], img_t[0:1],
+                    {"params": state.extra["rain"]}, rc, rs,
                     sampling, method="style_transfer",
                     rngs={"noise": rng_noise})
                 img_style = stylized_to_gray3(img_style)
                 style_size = img_style.shape[0]
-                x = jnp.concatenate([img_style, img_s, img_t, img_t_aug], axis=0)
-            else:
-                # ONE forward over concat [src, trg, trg_aug] (:246)
-                x = jnp.concatenate([img_s, img_t, img_t_aug], axis=0)
-            out, new_bs = _apply_seg(model, net, x, remat=cfg.model.remat)
             seg_sz = style_size + s_size
-            pred_s = out.pred[style_size:seg_sz]
-            pred_t_all = out.pred[seg_sz:]
-            dcdr_s = out.dcdr_ft[style_size:seg_sz]
-            dcdr_t = out.dcdr_ft[seg_sz:seg_sz + t_size]
-            dcdr_t_aug = out.dcdr_ft[seg_sz + t_size:]
+            if c.concat_forward:
+                # reference-exact: ONE forward over the full concat
+                # (Trainer_MCCL.py:217/:246) — couples BN stats across domains
+                parts = ([img_style, img_s] if use_rain else [img_s])
+                x = jnp.concatenate(parts + [img_t, img_t_aug], axis=0)
+                out, new_bs = _apply_seg(model, net, x, remat=cfg.model.remat)
+                pred_src_all = out.pred[:seg_sz]
+                pred_t_all = out.pred[seg_sz:]
+                dcdr_s = out.dcdr_ft[style_size:seg_sz]
+                dcdr_t = out.dcdr_ft[seg_sz:seg_sz + t_size]
+                dcdr_t_aug = out.dcdr_ft[seg_sz + t_size:]
+                btl_src = out.bottleneck[:seg_sz] if use_rain else None
+            else:
+                # default repair: two domain-pure forwards so BatchNorm
+                # statistics never mix domains (see ContrastiveConfig.
+                # concat_forward; measured -2.3x target dice otherwise)
+                x_src = (jnp.concatenate([img_style, img_s], axis=0)
+                         if use_rain else img_s)
+                out_src, bs1 = _apply_seg(model, net, x_src,
+                                          remat=cfg.model.remat)
+                out_trg, new_bs = _apply_seg(
+                    model, net.replace(batch_stats=bs1),
+                    jnp.concatenate([img_t, img_t_aug], axis=0),
+                    remat=cfg.model.remat)
+                pred_src_all = out_src.pred
+                pred_t_all = out_trg.pred
+                dcdr_s = out_src.dcdr_ft[style_size:]
+                dcdr_t = out_trg.dcdr_ft[:t_size]
+                dcdr_t_aug = out_trg.dcdr_ft[t_size:]
+                btl_src = out_src.bottleneck if use_rain else None
+            pred_s = pred_src_all[style_size:seg_sz]
 
             loss_seg = L.loss_calc(pred_s, labels_s, jaccard=True)
             metrics = {"seg_s": loss_seg}
@@ -427,10 +461,10 @@ def make_mccl_step(cfg, model, txs, rain_model=None,
             seg_only = loss_seg
             if use_rain:
                 # style seg loss + bottleneck consistency (:221-244)
-                loss_style = L.loss_calc(out.pred[:style_size],
+                loss_style = L.loss_calc(pred_src_all[:style_size],
                                          labels_s[:style_size], jaccard=True)
-                b_style = out.bottleneck[:style_size]
-                b_s = out.bottleneck[style_size:2 * style_size]
+                b_style = btl_src[:style_size]
+                b_s = btl_src[style_size:2 * style_size]
                 loss_consist = jnp.mean((b_s.astype(jnp.float32)
                                          - b_style.astype(jnp.float32)) ** 2)
                 metrics["seg_style"] = loss_style
@@ -572,3 +606,33 @@ def build_step(cfg, model, txs, disc=None, disc_aux=None,
         from .steps_rain import make_pretrain_rain_step
         return make_pretrain_rain_step(cfg, rain_model, txs)
     raise ValueError(f"unknown method {m!r}")
+
+
+# ---------------------------------------------------------------------------
+# multi-step driver: scan K steps inside one jit
+# ---------------------------------------------------------------------------
+def make_multi_step(step_fn: Callable) -> Callable:
+    """Wrap a jitted ``step(state, batch, sched) -> (state, metrics)`` into a
+    driver that consumes K device-resident batches in ONE dispatch via
+    ``lax.scan`` — the TPU-idiomatic step-in-scan pattern (K is inferred from
+    the stacked leading axis). Each launch costs one host->device round trip
+    instead of K, hiding dispatch latency (the dominant overhead on
+    tunneled/remote TPUs) and letting XLA overlap the inter-step gaps; the
+    batches arrive stacked ``(K, ...)`` (the trainer builds them with the
+    same device_prefetch queue; cfg.run.scan_steps picks K).
+
+    Returns ``multi(state, stacked_batches, sched) -> (state, metrics)``
+    where metrics are averaged over the K steps.
+    """
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def multi(state: TrainState, batches: Dict[str, Array],
+              sched: Dict[str, Array]):
+        def body(carry, batch):
+            new_state, metrics = step_fn(carry, batch, sched)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, {key: jnp.mean(v, axis=0) for key, v in metrics.items()}
+
+    return multi

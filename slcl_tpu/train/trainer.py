@@ -164,9 +164,13 @@ class Trainer:
             sample_shape=sample_shape, centroids=centroids)
         self._load_pretrained_encoder()
         if self._rain_params is not None:
+            # sampling rows = stylized images: bs under mulstyle (whole-batch
+            # styles), else 1 (Trainer_MCCL.py:196-202 operand shapes)
+            n_sty = cfg.data.bs if (cfg.rain.mulstyle
+                                    and not cfg.rain.mulstyle2) else 1
             self.state = self.state.replace(
                 extra={"rain": self._rain_params},
-                sampling=jnp.zeros((1, 512), jnp.float32))
+                sampling=jnp.zeros((n_sty, 512), jnp.float32))
         self.step_fn = build_step(cfg, self.model, self.txs, disc, disc_aux,
                                   rain_model=self.rain_model,
                                   centroids_loaded=self._centroids_loaded)
@@ -481,16 +485,51 @@ class Trainer:
 
         from ..data.loader import device_prefetch
         put = None
+        put_stacked = None
         if getattr(self, "mesh", None) is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             def put(v):  # noqa: F811 — shard batch dim over 'data'
                 spec = P("data", *([None] * (v.ndim - 1)))
                 return jax.device_put(v, NamedSharding(self.mesh, spec))
+
+            def put_stacked(v):  # (K, B, ...) — batch dim is axis 1
+                spec = P(None, "data", *([None] * (v.ndim - 2)))
+                return jax.device_put(v, NamedSharding(self.mesh, spec))
         acc: Dict[str, Any] = {}
         n = 0
         batches = ({k: v for k, v in b.items() if isinstance(v, np.ndarray)}
                    for b in self._epoch_batches())
+
+        K = max(1, int(cfg.run.scan_steps))
+        if K > 1 and eps_iters == 1:
+            # K steps per dispatch via lax.scan (steps.make_multi_step);
+            # the epoch tail (<K leftover batches) runs the plain step below
+            if getattr(self, "_multi_step", None) is None:
+                from .steps import make_multi_step
+                self._multi_step = make_multi_step(self.step_fn)
+            tail: list = []
+
+            def _stacked(it):
+                buf = []
+                for b in it:
+                    buf.append(b)
+                    if len(buf) == K:
+                        yield {k: np.stack([bb[k] for bb in buf])
+                               for k in buf[0]}
+                        buf = []
+                tail.extend(buf)
+
+            for arrays in device_prefetch(_stacked(batches),
+                                          size=cfg.data.prefetch,
+                                          put=put_stacked):
+                self.state, metrics = self._multi_step(self.state, arrays,
+                                                       sched)
+                for k, v in metrics.items():
+                    acc[k] = acc.get(k, 0.0) + v * K  # scan returns the mean
+                n += K
+            batches = iter(tail)
+
         for arrays in device_prefetch(batches, size=cfg.data.prefetch, put=put):
             for it in range(eps_iters):
                 s = sched if it == 0 else sched_cont
@@ -501,13 +540,15 @@ class Trainer:
         return {k: float(v) / max(n, 1) for k, v in acc.items()}
 
     def eval(self, split: str = "valid_t", toprint: bool = False,
-             ifhd: bool = True, ifasd: bool = True):
+             ifhd: bool = True, ifasd: bool = True, fast: bool = False):
         loader = Loader(self.datasets[split], self.cfg.data.eval_bs,
                         shuffle=False, drop_last=False,
                         num_threads=self.cfg.data.num_workers)
         variables = {"params": self.state.seg.params}
         if self.state.seg.batch_stats:
             variables["batch_stats"] = self.state.seg.batch_stats
+        if fast:
+            return self.evaluator.evaluate_fast(variables, loader)
         return self.evaluator.evaluate_single_dataset(
             variables, loader, ifhd=ifhd, ifasd=ifasd, toprint=toprint)
 
@@ -575,7 +616,8 @@ class Trainer:
             elif (epoch + 1) % cfg.run.eval_frequency == 0 or epoch == cfg.optim.epochs - 1:
                 # per-epoch validation is dice-only; surface metrics (HD95/
                 # ASSD) run once at final test like the reference
-                results = self.eval("valid_t", ifhd=False, ifasd=False)
+                results = self.eval("valid_t", ifhd=False, ifasd=False,
+                                    fast=cfg.run.fast_val)
                 dice = mean_fg_dice(results)
                 record["val_dice"] = dice
                 if mcp.step(dice, epoch):
@@ -599,8 +641,20 @@ class Trainer:
                 break
         self.save_checkpoint("last")
         if cfg.method == "pretrain_rain":
+            # export the four component checkpoints in the format the RAIN
+            # loaders consume (cfg.rain.*_ckpt) — the reference keeps one
+            # .pt per net (Pretrainer_RAIN.py:68-111)
+            from ..utils.torch_convert import save_tree_npz
+            params = jax.tree.map(np.asarray, self.state.seg.params)
+            for name in ("encoder", "decoder", "fc_encoder", "fc_decoder"):
+                save_tree_npz(str(self.out_dir / f"rain_{name}.npz"),
+                              params=params[name])
             summary = {"best_epoch": self.best_epoch,
-                       "best_score": self.best_score, "history": self.history}
+                       "best_score": self.best_score, "history": self.history,
+                       "component_ckpts": {
+                           name: str(self.out_dir / f"rain_{name}.npz")
+                           for name in ("encoder", "decoder",
+                                        "fc_encoder", "fc_decoder")}}
             with open(self.out_dir / "summary.json", "w") as f:
                 json.dump(summary, f, indent=2)
             return summary

@@ -103,3 +103,46 @@ def test_fsdp_sharding_matches_replicated(rng):
         np.asarray(jax.tree.leaves(s_ref.seg.params)[0]),
         np.asarray(jax.tree.leaves(s_f.seg.params)[0]), rtol=1e-4, atol=1e-6)
     assert float(m_ref["seg_s"]) == pytest.approx(float(m_f["seg_s"]), rel=1e-5)
+
+
+def test_mccl_sharded_step_matches_single_device(rng):
+    """MCCL's rMC partition RNG runs inside jit from state.rng: the random
+    pixel->partition assignment (and therefore the whole step) must be
+    invariant to how the batch is sharded (VERDICT round-1 item 9)."""
+    cfg = Config()
+    cfg.method = "mccl"
+    cfg.model.filters = 8
+    cfg.model.n_block = 2
+    cfg.model.bottleneck_depth = 2
+    cfg.model.dtype = "float32"
+    cfg.contrastive.part = 2
+    cfg.contrastive.wtd_ave = True
+    cfg.contrastive.CNR = True
+    model = build_segmentor(cfg.model)
+    cents = jnp.zeros((4, 8), jnp.float32)
+    state, txs = create_train_state(cfg, model, sample_shape=(1, H, H, 3),
+                                    centroids=cents)
+    step = build_step(cfg, model, txs)
+    B = 8
+    batch_np = {
+        "img_s": rng.normal(size=(B, H, H, 3)).astype(np.float32),
+        "lab_s": rng.integers(0, 4, size=(B, H, H)).astype(np.int32),
+        "img_t": rng.normal(size=(B, H, H, 3)).astype(np.float32),
+        "img_t_aug": rng.normal(size=(B, H, H, 3)).astype(np.float32),
+    }
+    sched = {"lr": jnp.asarray(1e-3), "lr_dis": jnp.asarray(1e-4),
+             "warm": jnp.asarray(1.0), "fresh": jnp.asarray(1.0),
+             "eps_on": jnp.asarray(0.0)}
+    single = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    s1, m1 = step(state, single, sched)
+    mesh = make_mesh()
+    with mesh:
+        state_r = replicate_state(state, mesh)
+        s8, m8 = step(state_r, shard_batch(batch_np, mesh), sched)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s1.seg.params)[0]),
+        np.asarray(jax.tree.leaves(s8.seg.params)[0]), rtol=1e-4, atol=1e-6)
+    for k in ("seg_s", "inter_c_loss", "CNR", "ratio_t"):
+        assert float(m1[k]) == pytest.approx(float(m8[k]), rel=1e-4), k
+    np.testing.assert_allclose(np.asarray(s1.centroids),
+                               np.asarray(s8.centroids), rtol=1e-4, atol=1e-6)

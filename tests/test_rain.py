@@ -165,3 +165,46 @@ def test_mccl_with_rain_step(rain_setup, rng):
     for k in ("seg_s", "seg_style", "loss_consist", "inter_c_loss", "CNR"):
         assert np.isfinite(float(m[k])), k
     assert not np.allclose(np.asarray(state2.sampling), np.asarray(state.sampling))
+
+
+@pytest.mark.parametrize("mode", ["mulstyle", "mulstyle2"])
+def test_mccl_rain_mulstyle_variants(rain_setup, rng, mode):
+    """Whole-batch stylization operands (Trainer_MCCL.py:196-202): mulstyle
+    pairs each content image with its own style (per-image sampling rows);
+    mulstyle2 stylizes the whole content batch with ONE style image."""
+    from slcl_tpu.models import build_segmentor
+    from slcl_tpu.train.state import create_train_state
+    from slcl_tpu.train.steps import build_step
+
+    rain_model, rain_vars = rain_setup
+    cfg = Config()
+    cfg.method = "mccl"
+    cfg.model.backbone = "drunet"
+    cfg.model.filters = 8
+    cfg.model.n_block = 2
+    cfg.model.bottleneck_depth = 2
+    cfg.model.dtype = "float32"
+    cfg.rain.enabled = True
+    setattr(cfg.rain, mode, True)
+    cfg.contrastive.part = 2
+    B = 2
+    n_sty = B if mode == "mulstyle" else 1
+    seg_model = build_segmentor(cfg.model)
+    state, txs = create_train_state(cfg, seg_model, sample_shape=(1, H, H, 3))
+    state = state.replace(extra={"rain": rain_vars["params"]},
+                          sampling=jnp.zeros((n_sty, 512), jnp.float32))
+    step = build_step(cfg, seg_model, txs, rain_model=rain_model)
+    batch = {
+        "img_s": jnp.asarray(rng.normal(size=(B, H, H, 3)).astype(np.float32)),
+        "lab_s": jnp.asarray(rng.integers(0, 4, size=(B, H, H)).astype(np.int32)),
+        "img_t": jnp.asarray(rng.normal(size=(B, H, H, 3)).astype(np.float32)),
+        "img_t_aug": jnp.asarray(rng.normal(size=(B, H, H, 3)).astype(np.float32)),
+    }
+    sched = {"lr": jnp.asarray(1e-3), "lr_dis": jnp.asarray(1e-4),
+             "warm": jnp.asarray(1.0), "fresh": jnp.asarray(1.0),
+             "eps_on": jnp.asarray(0.0)}
+    state2, m = step(state, batch, sched)
+    # both modes stylize the WHOLE content batch -> style seg loss over B
+    for k in ("seg_s", "seg_style", "loss_consist"):
+        assert np.isfinite(float(m[k])), k
+    assert state2.sampling.shape == (n_sty, 512)

@@ -89,3 +89,91 @@ def test_trainer_multidevice_mesh(tmp_path):
     # state stayed replicated and finite through the epoch
     leaf = jax.tree.leaves(t.state.seg.params)[0]
     assert bool(jnp.isfinite(leaf).all())
+
+
+def test_pretrain_rain_exports_component_ckpts_and_rain_loads_them(tmp_path):
+    """pretrain_rain -> 4 component npz ckpts -> rain seg training loads them
+    (the reference pretrain->RAIN pipeline, Pretrainer_RAIN + load_rain_models)."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, method="pretrain_rain", epochs=1)
+    cfg.data.bs = 2
+    t = Trainer(cfg)
+    summary = t.train()
+    ckpts = summary["component_ckpts"]
+    for name, p in ckpts.items():
+        assert json.loads(json.dumps(p))  # path strings
+        import os
+        assert os.path.exists(p), p
+
+    cfg2 = tiny_cfg(tmp_path, method="rain", epochs=1)
+    cfg2.rain.enabled = True
+    cfg2.rain.vgg_ckpt = ckpts["encoder"]
+    cfg2.rain.decoder_ckpt = ckpts["decoder"]
+    cfg2.rain.fc_encoder_ckpt = ckpts["fc_encoder"]
+    cfg2.rain.fc_decoder_ckpt = ckpts["fc_decoder"]
+    t2 = Trainer(cfg2)
+    # the loaded encoder params equal the pretrained ones
+    from slcl_tpu.utils.torch_convert import load_tree_npz
+    want = load_tree_npz(ckpts["encoder"])["params"]
+    got = t2.state.extra["rain"]["encoder"]
+    a = np.asarray(jax.tree.leaves(want)[0])
+    b = np.asarray(jax.tree.leaves(got)[0])
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+    metrics = t2.train_epoch(0)
+    assert np.isfinite(metrics["seg"])
+
+
+def test_scan_steps_matches_single_step(tmp_path):
+    """run.scan_steps=2 (K steps per dispatch via lax.scan, including an odd
+    tail batch through the plain step) reproduces the scan_steps=1 epoch
+    exactly — same data order, same final params and state."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg1 = tiny_cfg(tmp_path / "a", method="mpscl", epochs=1)
+    t1 = Trainer(cfg1)
+    m1 = t1.train_epoch(0)
+
+    cfg2 = tiny_cfg(tmp_path / "b", method="mpscl", epochs=1)
+    cfg2.run.scan_steps = 2
+    t2 = Trainer(cfg2)
+    m2 = t2.train_epoch(0)
+
+    # synthetic train split is 8*bs samples = 8 steps; K=3 forces a 2-batch
+    # tail through the plain step (8 = 3 + 3 + 2)
+    cfg3 = tiny_cfg(tmp_path / "c", method="mpscl", epochs=1)
+    cfg3.run.scan_steps = 3
+    t3 = Trainer(cfg3)
+    m3 = t3.train_epoch(0)
+
+    for ta, tb in ((t1, t2), (t1, t3)):
+        a = jax.tree.leaves(ta.state.seg.params)
+        b = jax.tree.leaves(tb.state.seg.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(ta.state.centroids),
+                                   np.asarray(tb.state.centroids),
+                                   rtol=2e-5, atol=1e-6)
+        assert int(ta.state.step) == int(tb.state.step)
+    for k in m1:
+        if k.startswith("dis_acc"):
+            # log-only thresholded pixel counts on a near-chance untrained
+            # discriminator: tiny logit differences between the scan-compiled
+            # and plain-compiled XLA programs flip individual pixels, so the
+            # counts are not comparable at tight tolerance (the params /
+            # centroids equality above is the real parity statement)
+            continue
+        assert float(m1[k]) == pytest.approx(float(m2[k]),
+                                             rel=1e-4, abs=1e-6), k
+        assert float(m1[k]) == pytest.approx(float(m3[k]),
+                                             rel=1e-4, abs=1e-6), k
+
+
+def test_fast_val_matches_host_dice(tmp_path):
+    """On-device dice (fast_val) equals the host path with klc off."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, epochs=1)
+    cfg.run.klc = False
+    t = Trainer(cfg)
+    host = t.eval("valid_t", ifhd=False, ifasd=False)
+    fast = t.eval("valid_t", fast=True)
+    np.testing.assert_allclose(fast["dc"][0::2], host["dc"][0::2], atol=1e-6)
