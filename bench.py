@@ -5,15 +5,28 @@ Measures the full SLCL train step at the paper's recipe shapes — DRUNet
 (multilvl), batch 16 source + 16 target 224x224 images, CE+Dice seg loss,
 EMA class centers, cosine pseudo-labels, MPCL source+target, CNR, entropy-map
 adversarial branch with discriminator updates — end-to-end images/sec/chip.
+Two modes are timed and the faster is reported: the plain per-step dispatch
+and the production ``run.scan_steps`` path (K steps per dispatch via
+lax.scan, slcl_tpu/train/steps.make_multi_step), which amortizes host->device
+dispatch latency exactly as the trainer does.
 
-Baseline: the reference publishes no numbers (BASELINE.md); the reference
-recipe runs on Kaggle T4/P100-class GPUs. ``REFERENCE_GPU_IMG_S`` is the
-documented estimate of the PyTorch reference's step throughput on that
-hardware (two 224x224 DRUNet forward+backward passes + discriminator steps
-per batch at bs16, with per-batch host syncs): ~25 source-images/sec.
-``vs_baseline`` = measured / estimate; the ≥5x target is from BASELINE.json.
+``vs_baseline`` (BASELINE.md "Measured baseline anchors"): the reference
+publishes no throughput numbers and its Kaggle GPU is not available here, so
+the denominator is a SPEED-OF-LIGHT UPPER BOUND for the reference on the
+fastest GPU it targets (Kaggle P100, 9.3 TFLOP/s fp32 — the reference trains
+pure fp32, no AMP anywhere in trainer/): XLA's own cost model counts the
+FLOPs of this exact step (same mathematical work per batch as reference
+Trainer_MPSCL.train_epoch:82-295), and
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+    ref_upper_img_s = 9.3e12 / FLOPs_per_source_image
+    vs_baseline     = measured_img_s / ref_upper_img_s
+
+Any eager-mode/host-sync/unfused inefficiency only makes the real reference
+slower than this bound, so ``vs_baseline`` is a LOWER bound on the true
+speedup. A same-host measured anchor (torch reference vs this framework on
+one CPU, tools/bench_reference_cpu.py) cross-checks the bound in BASELINE.md.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 import json
 import os
@@ -23,7 +36,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-REFERENCE_GPU_IMG_S = 25.0
+P100_FP32_FLOPS = 9.3e12  # Kaggle P100 peak fp32 (reference trains fp32)
 
 
 def main():
@@ -37,7 +50,7 @@ def main():
     from slcl_tpu.config import Config
     from slcl_tpu.models import UncertaintyDiscriminator, build_segmentor
     from slcl_tpu.train.state import create_train_state
-    from slcl_tpu.train.steps import build_step
+    from slcl_tpu.train.steps import build_step, make_multi_step
 
     cfg = Config()
     cfg.method = "mpscl"
@@ -65,6 +78,14 @@ def main():
     sched = {"lr": jnp.asarray(8e-4), "lr_dis": jnp.asarray(1e-4),
              "warm": jnp.asarray(1.0)}
 
+    # FLOPs of the recipe per XLA's cost model -> reference speed-of-light
+    # bound (see module docstring). Counted once, on the same jitted step.
+    compiled = jax.jit(step).lower(state, batch, sched).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    flops_per_src_img = float(ca["flops"]) / B
+    ref_upper_img_s = P100_FP32_FLOPS / flops_per_src_img
+
     # compile + warmup; the scalar pull is a true device sync (on the
     # tunneled TPU in this environment block_until_ready can return early,
     # so timing uses async dispatch + one forced readback at the end).
@@ -79,14 +100,35 @@ def main():
     for _ in range(iters):
         state, metrics = step(state, batch, sched)
     _ = float(metrics["seg_s"])  # drain the dispatch pipeline
-    dt = (time.perf_counter() - t0) / iters
+    dt_plain = (time.perf_counter() - t0) / iters
 
+    # production scan path: K steps per dispatch (trainer run.scan_steps)
+    K = int(os.environ.get("BENCH_SCAN_STEPS", "8"))
+    multi = make_multi_step(step)
+    stacked = {k: jnp.broadcast_to(v, (K,) + v.shape) for k, v in batch.items()}
+    mstate, mmetrics = multi(state, stacked, sched)  # compile (donates state)
+    _ = float(mmetrics["seg_s"])
+    for _ in range(2):  # allocator warmup
+        mstate, mmetrics = multi(mstate, stacked, sched)
+    _ = float(mmetrics["seg_s"])
+    scan_iters = max(1, iters // K)
+    t0 = time.perf_counter()
+    for _ in range(scan_iters):
+        mstate, mmetrics = multi(mstate, stacked, sched)
+    _ = float(mmetrics["seg_s"])
+    dt_scan = (time.perf_counter() - t0) / (scan_iters * K)
+
+    dt = min(dt_plain, dt_scan)
     img_s = B / dt
     print(json.dumps({
         "metric": "SLCL train throughput (src imgs/sec/chip, bs16 224x224)",
         "value": round(img_s, 2),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_s / REFERENCE_GPU_IMG_S, 2),
+        "vs_baseline": round(img_s / ref_upper_img_s, 2),
+        "plain_step_img_s": round(B / dt_plain, 2),
+        "scan8_img_s": round(B / dt_scan, 2),
+        "ref_p100_speed_of_light_img_s": round(ref_upper_img_s, 2),
+        "flops_per_source_image": flops_per_src_img,
     }))
 
 

@@ -128,8 +128,10 @@ class ModelConfig:
     # scripts/convert_torch.py; consumed when pretrained=True
     pretrained_ckpt: str = ""
     dtype: str = "bfloat16"           # activation dtype on TPU
-    remat: bool = False               # rematerialize the segmentor forward
-                                      # (trade FLOPs for HBM at large batch)
+    # rematerialize the segmentor forward: false/"" = off; true/"full" =
+    # plain jax.checkpoint (trade FLOPs for HBM at large batch); "dots" =
+    # checkpoint_dots policy (keep matmul results, recompute elementwise)
+    remat: str = ""
 
 
 @dataclass

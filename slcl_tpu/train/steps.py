@@ -36,20 +36,36 @@ from .state import NetState, TrainState
 Array = jax.Array
 
 
+def _remat_wrap(fwd, remat):
+    """Optional rematerialization of a forward fn (cfg.model.remat).
+
+    ``remat`` accepts False/""/off (no remat), True/"full" (plain
+    jax.checkpoint: recompute everything in the backward — trades HBM
+    residency for FLOPs), or "dots" (checkpoint_dots policy: keep matmul/
+    dot results resident, recompute the elementwise chains between them —
+    the traffic-cutting middle ground for bandwidth-bound convnets)."""
+    mode = remat if isinstance(remat, str) else ("full" if remat else "")
+    if mode in ("", "0", "false", "off"):
+        return fwd
+    if mode == "dots":
+        return jax.checkpoint(
+            fwd, policy=jax.checkpoint_policies.checkpoint_dots)
+    return jax.checkpoint(fwd)
+
+
 def _apply_seg(model, net: NetState, x, train=True, remat=False):
     """Run the segmentor, returning (SegOutput, new_batch_stats).
 
     ``remat`` wraps the forward in jax.checkpoint so the backward pass
-    recomputes activations instead of holding them in HBM (useful for
-    large-batch / high-res runs; set via cfg.model.remat)."""
+    recomputes activations instead of holding them in HBM (see _remat_wrap;
+    set via cfg.model.remat)."""
     variables = {"params": net.params}
     if net.batch_stats:
         variables["batch_stats"] = net.batch_stats
         if train:
             def fwd(variables, x):
                 return model.apply(variables, x, True, mutable=["batch_stats"])
-            if remat:
-                fwd = jax.checkpoint(fwd)
+            fwd = _remat_wrap(fwd, remat)
             out, upd = fwd(variables, x)
             return out, upd["batch_stats"]
         return model.apply(variables, x, False), net.batch_stats
