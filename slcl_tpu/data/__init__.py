@@ -1,3 +1,4 @@
+from .legacy import BSSFPDataset, LGEDataset  # noqa: F401
 from .loader import Loader, zip_domains  # noqa: F401
 from .synthetic import SyntheticCardiacDataset  # noqa: F401
 

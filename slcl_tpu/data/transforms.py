@@ -209,6 +209,66 @@ def superpixels(image: np.ndarray, rng: np.random.Generator,
     return out
 
 
+def affine_shear_aug(image: np.ndarray, mask: Optional[np.ndarray],
+                     rng: np.random.Generator, *,
+                     rotate=(-10, 10), shear=(-12, 12),
+                     translate_x=(-0.1, 0.05), translate_y=(-0.1, 0.1),
+                     scale=(0.8, 1.2)):
+    """Full iaa.Affine equivalent with per-axis scale and shear (the legacy
+    bSSFP/LGE pipelines use shear, which ``simple_aug`` lacks — reference
+    dataset/bSSFP_dataset.py:28-39, LGE_dataset.py:25-35). Linear interp for
+    the image (constant border = image min), nearest for the mask."""
+    h, w = image.shape[:2]
+    ang = np.deg2rad(rng.uniform(*rotate))
+    shr = np.deg2rad(rng.uniform(*shear))
+    sx, sy = rng.uniform(*scale), rng.uniform(*scale)
+    tx, ty = rng.uniform(*translate_x) * w, rng.uniform(*translate_y) * h
+    # rotation+shear+scale about the image center, then translate
+    ca, sa = np.cos(ang), np.sin(ang)
+    A = np.array([[sx * (ca + np.tan(shr) * -sa), sx * -sa],
+                  [sy * (sa + np.tan(shr) * ca), sy * ca]], np.float32)
+    c = np.array([w / 2.0, h / 2.0], np.float32)
+    t = c - A @ c + np.array([tx, ty], np.float32)
+    M = np.concatenate([A, t[:, None]], axis=1)
+    border = float(image.min()) if image.size else 0.0
+    img = cv2.warpAffine(image.astype(np.float32), M, (w, h),
+                         flags=cv2.INTER_LINEAR,
+                         borderMode=cv2.BORDER_CONSTANT, borderValue=border)
+    msk = mask
+    if mask is not None:
+        msk = cv2.warpAffine(mask.astype(np.float32), M, (w, h),
+                             flags=cv2.INTER_NEAREST,
+                             borderMode=cv2.BORDER_CONSTANT,
+                             borderValue=0).astype(mask.dtype)
+    return img, msk
+
+
+def perspective_warp(image: np.ndarray, mask: Optional[np.ndarray],
+                     rng: np.random.Generator, scale: float = 0.05):
+    """iaa.PerspectiveTransform equivalent (LGE_dataset.py:39): jitter the 4
+    corners by |N(0, scale)| of the image size inward and warp to the full
+    frame; image linear, mask nearest."""
+    h, w = image.shape[:2]
+    jit = np.abs(rng.normal(0, scale, (4, 2))).astype(np.float32)
+    src = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
+    inward = np.array([[1, 1], [-1, 1], [-1, -1], [1, -1]], np.float32)
+    src = src + inward * jit * np.array([w, h], np.float32)
+    dst = np.array([[0, 0], [w, 0], [w, h], [0, h]], np.float32)
+    P = cv2.getPerspectiveTransform(src, dst)
+    border = float(image.min()) if image.size else 0.0
+    img = cv2.warpPerspective(image.astype(np.float32), P, (w, h),
+                              flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_CONSTANT,
+                              borderValue=border)
+    msk = mask
+    if mask is not None:
+        msk = cv2.warpPerspective(mask.astype(np.float32), P, (w, h),
+                                  flags=cv2.INTER_NEAREST,
+                                  borderMode=cv2.BORDER_CONSTANT,
+                                  borderValue=0).astype(mask.dtype)
+    return img, msk
+
+
 def piecewise_affine(image: np.ndarray, mask: Optional[np.ndarray],
                      rng: np.random.Generator, scale: float = 0.03,
                      grid: int = 4):

@@ -255,3 +255,75 @@ def test_heavy_aug2_ops_mask_consistency(rng):
     # elastic with order=0 is value-preserving (nearest)
     e, _ = T.elastic_deform(img2, m2, np.random.default_rng(1), sigma=5.0)
     assert set(np.unique(e)) <= {0.0, 1.0}
+
+
+def test_legacy_bssfp_lge_datasets(tmp_path, rng):
+    """Legacy few-shot loaders (reference bSSFP_dataset.py / LGE_dataset.py):
+    globs, center-crop, remap, aug modes, virtual length, reproducibility."""
+    import cv2
+    from slcl_tpu.data.legacy import BSSFPDataset, LGEDataset, lge_heavy_aug
+    for d in ("trainA", "trainAmask", "trainB"):
+        (tmp_path / d).mkdir(parents=True)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[10:20, 10:20] = 85
+    mask[30:40, 30:40] = 212
+    mask[50:60, 50:60] = 255
+    for i in range(3):
+        img = (rng.random((64, 64)) * 255).astype(np.uint8)
+        cv2.imwrite(str(tmp_path / "trainA" / f"pat_1_bSSFP_{i}.png"), img)
+        cv2.imwrite(str(tmp_path / "trainAmask" / f"pat_1_bSSFP_{i}.png"), mask)
+        cv2.imwrite(str(tmp_path / "trainB" / f"pat_1_lge_{i}.png"), img)
+        cv2.imwrite(str(tmp_path / "trainB" / f"pat_2_lge_{i}.png"), img)
+
+    ds = BSSFPDataset(str(tmp_path), crop=48, augmentation=True, seed=3)
+    assert len(ds) == 3
+    img, m, name = ds[0]
+    assert img.shape == (48, 48, 3) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert m.shape == (48, 48) and set(np.unique(m)) <= {0, 1, 2, 3}
+    # reproducible given (seed, epoch, index)
+    img2, m2, _ = BSSFPDataset(str(tmp_path), crop=48, augmentation=True,
+                               seed=3)[0]
+    np.testing.assert_array_equal(img, img2)
+    np.testing.assert_array_equal(m, m2)
+    # length override (reference: max_iters replication)
+    assert len(BSSFPDataset(str(tmp_path), crop=48, length=10)) == 10
+
+    # LGE few-shot selects only pat 1; fulldata takes both; oneshot length
+    lge = LGEDataset(str(tmp_path), crop=48, pat_id=1, mode="oneshot")
+    assert len(lge) == 3
+    out = lge[0]
+    assert len(out) == 2 and out[0].shape == (48, 48, 3)
+    full = LGEDataset(str(tmp_path), crop=48, mode="fulldata", virtual_len=7)
+    assert len(full.items) == 6 and len(full) == 7
+    aug_ds = LGEDataset(str(tmp_path), crop=48, pat_id=1, mode="fewshot",
+                        augmentation=True, virtual_len=5, seed=11)
+    im, im_aug, name = aug_ds[4]  # index beyond #files wraps
+    assert im.shape == im_aug.shape == (48, 48, 3)
+    assert np.isfinite(im_aug).all()
+    # heavy aug draws are reproducible per (seed, epoch, index)
+    im_b, im_aug_b, _ = LGEDataset(str(tmp_path), crop=48, pat_id=1,
+                                   mode="fewshot", augmentation=True,
+                                   virtual_len=5, seed=11)[4]
+    np.testing.assert_array_equal(im_aug, im_aug_b)
+    # the pipeline itself preserves dtype/shape across many draws
+    base = (rng.random((48, 48)) * 255).astype(np.float32)
+    for s in range(8):
+        out = lge_heavy_aug(base.copy(), np.random.default_rng(s))
+        assert out.shape == base.shape and np.isfinite(out).all()
+
+
+def test_affine_shear_and_perspective_mask_consistency(rng):
+    """New geometric ops transform image and mask with the SAME warp."""
+    from slcl_tpu.data import transforms as T
+    img = np.zeros((64, 64), np.float32)
+    img[20:40, 20:40] = 1.0
+    m = (img > 0).astype(np.uint8)
+    for fn, kw in ((T.affine_shear_aug, {}),
+                   (T.perspective_warp, {"scale": 0.05})):
+        a, am = fn(img, m, np.random.default_rng(0), **kw)
+        assert a.shape == img.shape and am.shape == m.shape
+        # warped mask overlaps the warped bright region
+        inter = ((a > 0.5) & (am > 0)).sum()
+        union = ((a > 0.5) | (am > 0)).sum()
+        assert union == 0 or inter / union > 0.8, fn.__name__
