@@ -17,7 +17,8 @@ def prepare_datasets(cfg):
                          augmentation=cfg.data.aug_s, vert=cfg.data.vert, gap=g),
             "train_t": S(n, cfg.data.crop, trg, cfg.data.seed + 1,
                          augmentation=cfg.data.aug_t,
-                         aug_counter=cfg.data.aug_counter, gap=g),
+                         aug_counter=cfg.data.aug_counter, gap=g,
+                         aug_mode=cfg.data.aug_mode),
             "valid_t": S(2 * cfg.data.eval_bs, cfg.data.crop, trg,
                          cfg.data.seed + 2, gap=g),
             "test_t": S(2 * cfg.data.eval_bs, cfg.data.crop, trg,

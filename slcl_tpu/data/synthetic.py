@@ -22,10 +22,14 @@ class SyntheticCardiacDataset:
     def __init__(self, n_slices: int = 64, crop: int = 224, domain: str = "ct",
                  seed: int = 1234, augmentation: bool = False,
                  aug_counter: bool = False, vert: bool = False,
-                 n_points: int = 300, gap: float = 1.0):
+                 n_points: int = 300, gap: float = 1.0,
+                 aug_mode: str = "simple"):
         """``gap`` scales the CT->MR appearance shift: 0 = identical
         domains, 1 = full contrast inversion (the default, an adversarial
-        stress test validated by the same-domain oracle at 0.986 dice)."""
+        stress test validated by the same-domain oracle at 0.986 dice).
+        ``aug_mode`` ('simple' | 'heavy' | 'heavy2') selects the counter-
+        image augmentation like the real pipelines (heavy2 exercises the
+        native SLIC tier)."""
         self.n = n_slices
         self.crop = crop
         self.domain = domain
@@ -35,6 +39,7 @@ class SyntheticCardiacDataset:
         self.vert = vert
         self.n_points = n_points
         self.gap = gap
+        self.aug_mode = aug_mode
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -115,7 +120,14 @@ class SyntheticCardiacDataset:
         img3 = np.stack([img] * 3, axis=-1).astype(np.float32)
         name = f"synth_{self.domain}_{idx}"
         if self.aug_counter:
-            img_b, _ = self._augment(self._image(mask, rng), mask, aug_rng)
+            img_b = self._image(mask, rng)
+            if self.aug_mode == "simple":
+                img_b, _ = self._augment(img_b, mask, aug_rng)
+            else:  # heavy / heavy2 like the real pipelines
+                from . import transforms as T
+                fn = T.heavy_aug2 if "2" in self.aug_mode else T.heavy_aug
+                img_b, _ = fn(img_b, None, aug_rng)
+                img_b = np.clip(img_b, 0.0, 1.0)
             img3_b = np.stack([img_b] * 3, axis=-1).astype(np.float32)
             return img3, img3_b, name
         if self.vert:

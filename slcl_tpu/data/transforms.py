@@ -172,41 +172,63 @@ def heavy_aug(image: np.ndarray, mask: Optional[np.ndarray],
 # applied with the reference's Sometimes(0.5)/SomeOf structure. Geometric ops
 # transform the mask with nearest-neighbour; photometric ops leave it.
 # ---------------------------------------------------------------------------
-def superpixels(image: np.ndarray, rng: np.random.Generator,
-                n_segments: int = 64, p_replace: float = 0.5,
-                iters: int = 2) -> np.ndarray:
-    """SLIC-lite superpixel replacement (iaa.Superpixels equivalent):
-    grid-seeded (y, x, intensity) k-means for a few Lloyd iterations, then
-    each segment is replaced by its mean intensity with prob ``p_replace``."""
-    h, w = image.shape[:2]
-    g = max(int(np.sqrt(n_segments)), 2)
+def _slic_assign_numpy(gray: np.ndarray, g: int, iters: int) -> np.ndarray:
+    """Vectorized numpy SLIC-lite: grid-seeded (y, x, intensity) k-means,
+    global argmin per iteration, bincount Lloyd updates. Fallback for the
+    native tier (slcl_tpu/native/slic.cpp)."""
+    h, w = gray.shape
     ys = np.linspace(0, h - 1, g)
     xs = np.linspace(0, w - 1, g)
     cy, cx = np.meshgrid(ys, xs, indexing="ij")
     cy, cx = cy.ravel(), cx.ravel()
-    img = image.astype(np.float32)
-    gray = img if img.ndim == 2 else img.mean(-1)
-    cv = gray[cy.astype(int), cx.astype(int)]
+    cv = gray[cy.astype(int), cx.astype(int)].astype(np.float64)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    # spatial scale ~ cell size; intensity scale ~ dynamic range
+    yf, xf, gf = yy.ravel(), xx.ravel(), gray.ravel().astype(np.float32)
     s_sp = max(h, w) / g
     s_in = max(float(gray.max() - gray.min()), 1e-6)
-    for _ in range(iters):
-        d = ((yy[..., None] - cy) ** 2 + (xx[..., None] - cx) ** 2) / s_sp**2 \
-            + ((gray[..., None] - cv) ** 2) / (0.3 * s_in) ** 2
+    k = len(cy)
+    assign = np.zeros(h * w, np.int64)
+    for _ in range(max(iters, 1)):
+        d = ((yf[:, None] - cy) ** 2 + (xf[:, None] - cx) ** 2) / s_sp**2 \
+            + ((gf[:, None] - cv) ** 2) / (0.3 * s_in) ** 2
         assign = np.argmin(d, axis=-1)
-        for k in range(len(cy)):
-            m = assign == k
-            if m.any():
-                cy[k], cx[k] = yy[m].mean(), xx[m].mean()
-                cv[k] = gray[m].mean()
-    out = img.copy()
-    for k in range(len(cy)):
-        if rng.random() < p_replace:
-            m = assign == k
-            if m.any():
-                out[m] = img[m].mean(axis=0)
-    return out
+        cnt = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = cnt > 0
+        cy = np.where(nz, np.bincount(assign, yf, k) / np.maximum(cnt, 1), cy)
+        cx = np.where(nz, np.bincount(assign, xf, k) / np.maximum(cnt, 1), cx)
+        cv = np.where(nz, np.bincount(assign, gf, k) / np.maximum(cnt, 1), cv)
+    return assign.reshape(h, w).astype(np.int32)
+
+
+def superpixels(image: np.ndarray, rng: np.random.Generator,
+                n_segments: int = 64, p_replace: float = 0.5,
+                iters: int = 2) -> np.ndarray:
+    """SLIC superpixel replacement (iaa.Superpixels equivalent): grid-seeded
+    (y, x, intensity) k-means, then each segment is replaced by its mean
+    intensity with prob ``p_replace``. The assignment runs on the native C++
+    tier when available (proper SLIC with 2S-local search,
+    slcl_tpu/native/slic.cpp — ~300x the numpy fallback, PERF.md)."""
+    from .. import native
+
+    img = image.astype(np.float32)
+    gray = img if img.ndim == 2 else img.mean(-1)
+    g = max(int(np.sqrt(n_segments)), 2)
+    replace = rng.random(g * g) < p_replace
+    try:
+        assign = native.slic_assign(gray, g, iters + 1)
+        return native.segment_replace(img, assign, replace)
+    except RuntimeError:
+        assign = _slic_assign_numpy(gray, g, iters)
+    # vectorized segment-mean replacement
+    flat = assign.ravel()
+    k = g * g
+    cnt = np.maximum(np.bincount(flat, minlength=k), 1).astype(np.float32)
+    if img.ndim == 2:
+        means = (np.bincount(flat, img.ravel(), k) / cnt).astype(np.float32)
+        return np.where(replace[assign], means[assign], img)
+    means = np.stack([np.bincount(flat, img[..., c].ravel(), k) / cnt
+                      for c in range(img.shape[-1])], -1).astype(np.float32)
+    return np.where(replace[assign][..., None], means[assign], img)
 
 
 def affine_shear_aug(image: np.ndarray, mask: Optional[np.ndarray],

@@ -94,6 +94,28 @@ def fsdp_shard_state(state, mesh: Mesh, min_size: int = 2 ** 16):
         if hasattr(x, "shape") else x, state)
 
 
+def spatial_shard_batch(batch: Dict[str, Any], mesh: Mesh,
+                        axis: str = "model") -> Dict[str, Any]:
+    """Spatial partitioning (SP): shard the image height dim over ``axis``
+    in addition to batch over 'data'. For the conv backbones GSPMD inserts
+    the halo exchanges (and re-shards through the down/up-sampling stages)
+    automatically, so a (data, model) mesh can split one image's rows across
+    chips — the TPU answer to "the images don't fit one chip" that the
+    single-GPU reference cannot express. NHWC images (B, H, W, C) shard
+    P('data', axis); (B, H, W) label maps likewise."""
+    out = {}
+    n = mesh.shape[axis]
+    for k, v in batch.items():
+        if hasattr(v, "shape") and np.ndim(v) >= 3 and v.shape[1] % n == 0:
+            spec = P("data", axis, *([None] * (np.ndim(v) - 2)))
+        elif hasattr(v, "shape"):
+            spec = P("data", *([None] * (np.ndim(v) - 1)))
+        else:
+            continue
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
 def make_multihost_batch(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     """Multi-host input feeding: each process contributes its local shard of
     the global batch (jax.make_array_from_process_local_data over the 'data'

@@ -105,6 +105,31 @@ def test_fsdp_sharding_matches_replicated(rng):
     assert float(m_ref["seg_s"]) == pytest.approx(float(m_f["seg_s"]), rel=1e-5)
 
 
+def test_spatial_partitioning_matches_single_device(rng):
+    """SP: batch sharded over 'data' AND image rows sharded over 'model'
+    (GSPMD halo exchange through the conv stages) must reproduce the
+    single-device step."""
+    from slcl_tpu.parallel.mesh import spatial_shard_batch
+    _, state, step = _setup()
+    batch_np = _batch(rng)
+    sched = {"lr": jnp.asarray(1e-3), "lr_dis": jnp.asarray(1e-4),
+             "warm": jnp.asarray(1.0)}
+    single = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    s1, m1 = step(state, single, sched)
+
+    mesh = make_mesh(8, model_axis=4)  # 2 data x 4 model; H=16 -> 4 rows/dev
+    with mesh:
+        state_r = replicate_state(state, mesh)
+        sp = spatial_shard_batch(batch_np, mesh)
+        # images really are row-sharded over 'model'
+        assert any("model" in (v.sharding.spec or ()) for v in sp.values())
+        s2, m2 = step(state_r, sp, sched)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(s1.seg.params)[0]),
+        np.asarray(jax.tree.leaves(s2.seg.params)[0]), rtol=1e-4, atol=1e-6)
+    assert float(m1["seg_s"]) == pytest.approx(float(m2["seg_s"]), rel=1e-5)
+
+
 def test_mccl_sharded_step_matches_single_device(rng):
     """MCCL's rMC partition RNG runs inside jit from state.rng: the random
     pixel->partition assignment (and therefore the whole step) must be
