@@ -234,6 +234,11 @@ class MeshConfig:
     data_axis: int = -1               # -1 = all devices on the data axis
     model_axis: int = 1
     axis_names: Tuple[str, str] = ("data", "model")
+    fsdp: bool = False                # shard params/opt over 'model' axis
+    fsdp_min_size: int = 2 ** 16      # leaves smaller than this stay replicated
+    spatial: bool = False             # shard image rows over 'model' axis
+                                      # (GSPMD halo exchange; needs
+                                      # model_axis > 1 and H % model_axis == 0)
 
 
 @dataclass

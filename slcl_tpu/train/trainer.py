@@ -223,15 +223,30 @@ class Trainer:
         self.mesh = None
         if len(jax.devices()) <= 1 or self.cfg.method in ("pretrain_rain",):
             return
-        from ..parallel.mesh import make_mesh, replicate_state
+        from ..parallel.mesh import (fsdp_shard_state, make_mesh,
+                                     replicate_state)
         n = len(jax.devices())
-        if self.cfg.data.bs % n != 0:
-            print(f"[mesh] global batch {self.cfg.data.bs} not divisible by "
-                  f"{n} devices; staying single-device")
+        model_axis = max(self.cfg.mesh.model_axis, 1)
+        if n % model_axis != 0:
+            print(f"[mesh] {n} devices not divisible by model_axis "
+                  f"{model_axis}; staying single-device")
             return
-        self.mesh = make_mesh(n, model_axis=max(self.cfg.mesh.model_axis, 1))
-        self.state = replicate_state(self.state, self.mesh)
-        print(f"[mesh] data-parallel over {n} devices "
+        if self.cfg.data.bs % (n // model_axis) != 0:
+            print(f"[mesh] global batch {self.cfg.data.bs} not divisible by "
+                  f"{n // model_axis} data-axis devices; staying "
+                  "single-device")
+            return
+        self.mesh = make_mesh(n, model_axis=model_axis)
+        if self.cfg.mesh.fsdp and model_axis > 1:
+            self.state = fsdp_shard_state(self.state, self.mesh,
+                                          min_size=self.cfg.mesh.fsdp_min_size)
+            kind = "dp+fsdp"
+        else:
+            self.state = replicate_state(self.state, self.mesh)
+            kind = "data-parallel"
+        if self.cfg.mesh.spatial and model_axis > 1:
+            kind += "+sp"
+        print(f"[mesh] {kind} over {n} devices "
               f"(mesh {dict(self.mesh.shape)})")
 
     # ------------------------------------------------------------------
@@ -488,13 +503,22 @@ class Trainer:
         put_stacked = None
         if getattr(self, "mesh", None) is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
+            sp = (cfg.mesh.spatial and self.mesh.shape["model"] > 1)
+            sp_n = self.mesh.shape["model"]
 
-            def put(v):  # noqa: F811 — shard batch dim over 'data'
-                spec = P("data", *([None] * (v.ndim - 1)))
+            def put(v):  # noqa: F811 — batch over 'data' (+rows over 'model')
+                if sp and v.ndim >= 3 and v.shape[1] % sp_n == 0:
+                    spec = P("data", "model", *([None] * (v.ndim - 2)))
+                else:
+                    spec = P("data", *([None] * (v.ndim - 1)))
                 return jax.device_put(v, NamedSharding(self.mesh, spec))
 
             def put_stacked(v):  # (K, B, ...) — batch dim is axis 1
-                spec = P(None, "data", *([None] * (v.ndim - 2)))
+                if sp and v.ndim >= 4 and v.shape[2] % sp_n == 0:
+                    spec = P(None, "data", "model",
+                             *([None] * (v.ndim - 3)))
+                else:
+                    spec = P(None, "data", *([None] * (v.ndim - 2)))
                 return jax.device_put(v, NamedSharding(self.mesh, spec))
         acc: Dict[str, Any] = {}
         n = 0

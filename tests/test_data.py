@@ -327,3 +327,20 @@ def test_affine_shear_and_perspective_mask_consistency(rng):
         inter = ((a > 0.5) & (am > 0)).sum()
         union = ((a > 0.5) | (am > 0)).sum()
         assert union == 0 or inter / union > 0.8, fn.__name__
+
+
+def test_synthetic_aug_mode_counter_image():
+    """The synthetic counter image honors aug_mode (simple/heavy/heavy2),
+    stays in [0, 1], and is reproducible per (seed, epoch, index)."""
+    from slcl_tpu.data.synthetic import SyntheticCardiacDataset
+    for mode in ("simple", "heavy", "heavy2"):
+        d = SyntheticCardiacDataset(4, 64, "mr", 1, aug_counter=True,
+                                    aug_mode=mode)
+        img, img_b, _ = d[1]
+        img2, img_b2, _ = d[1]
+        assert img_b.shape == img.shape
+        assert img_b.min() >= 0.0 and img_b.max() <= 1.0
+        np.testing.assert_array_equal(img_b, img_b2)
+        d.set_epoch(1)
+        _, img_b3, _ = d[1]
+        assert not np.array_equal(img_b, img_b3), mode  # varies per epoch

@@ -91,6 +91,28 @@ def test_trainer_multidevice_mesh(tmp_path):
     assert bool(jnp.isfinite(leaf).all())
 
 
+def test_trainer_fsdp_spatial_mesh(tmp_path):
+    """mesh.model_axis=2 + mesh.fsdp + mesh.spatial: the Trainer shards
+    params over 'model' and image rows over 'model' (sp) and still trains
+    end-to-end on the 8-virtual-device CPU setup."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, method="mpscl", epochs=1)
+    cfg.data.bs = 4   # data axis = 8/2 = 4 devices
+    cfg.mesh.model_axis = 2
+    cfg.mesh.fsdp = True
+    cfg.mesh.fsdp_min_size = 256  # tiny test model: shard small leaves too
+    cfg.mesh.spatial = True
+    t = Trainer(cfg)
+    assert t.mesh is not None and dict(t.mesh.shape) == {"data": 4,
+                                                         "model": 2}
+    # fsdp actually sharded at least one leaf over 'model'
+    sharded = [x for x in jax.tree.leaves(t.state.seg.params)
+               if hasattr(x, "sharding") and "model" in (x.sharding.spec or ())]
+    assert sharded, "expected fsdp-sharded parameter leaves"
+    metrics = t.train_epoch(0)
+    assert all(np.isfinite(v) for v in metrics.values())
+
+
 def test_pretrain_rain_exports_component_ckpts_and_rain_loads_them(tmp_path):
     """pretrain_rain -> 4 component npz ckpts -> rain seg training loads them
     (the reference pretrain->RAIN pipeline, Pretrainer_RAIN + load_rain_models)."""
