@@ -101,6 +101,12 @@ class DataConfig:
     percent: float = 99.0             # percentile window for minmax fallback
     aug_s: bool = True                # augment source
     aug_t: bool = True                # augment target
+    # baseline supervised-domain selection (reference Trainer_baseline.py:34-37,
+    # :221-227: train_with_s default-on trains on source labels; train_with_t
+    # with train_with_s=false trains supervised on TARGET labels — the oracle
+    # upper-bound configuration)
+    train_with_s: bool = True
+    train_with_t: bool = False
     aug_mode: str = "simple"          # simple | heavy | heavy2
     aug_counter: bool = False         # emit (img_t, img_t_aug) pairs (MCCL)
     vert: bool = False                # point-cloud vertices (AdaptEvery)
@@ -138,8 +144,14 @@ class ModelConfig:
 class OptimConfig:
     optimizer: str = "sgd"            # sgd | adam
     lr: float = 8e-4
-    lr_dis: float = 1e-4              # discriminator LR (Adam betas 0.9/0.99)
+    lr_dis: float = 1e-4              # discriminator LR (Adam betas adv.mmt1/adv.mmt)
+    # decay lr_dis with the same schedule as the generator; the reference
+    # default keeps D LR constant (Trainer_AdaptSeg.py:119-127 gates on
+    # -adjust_lr_dis)
+    adjust_lr_dis: bool = False
     lr_decay_method: Optional[str] = "poly"   # poly | linear | None
+    lr_decay: float = 2e-3            # 'linear' inverse-time decay factor
+                                      # (reference LEARNING_RATE_DECAY)
     lr_end: float = 0.0
     momentum: float = 0.9
     weight_decay: float = 5e-4
@@ -153,6 +165,13 @@ class AdversarialConfig:
     """AdaptSeg/AdvEnt discriminator branch (reference Trainer_AdaptSeg/Advent)."""
     w_dis: float = 1e-3
     w_dis_aux: float = 2e-4
+    w_seg_aux: float = 0.1            # aux-head seg loss weight (Trainer_AdaptSeg.py:26-27)
+    mmt1: float = 0.9                 # discriminator Adam beta1 (Trainer_AdaptSeg.py:31)
+    mmt: float = 0.99                 # discriminator Adam beta2 (Trainer_AdaptSeg.py:32)
+    # AdaptEvery extras (Trainer_AdaptEvery.py:29-31, :242, :293)
+    wp: float = 1.0                   # Chamfer point-cloud loss weight
+    w_d_ent: float = 1e-3             # entropy-map discriminator weight
+    w_d_point: float = 1e-3           # PointNet discriminator weight
     w_ent: float = 0.0                # direct entropy minimisation weight
     w_prior: float = 0.0              # class-prior hinge weight
     class_prior: Tuple[float, ...] = (0.9146, 0.0253, 0.0309, 0.0292)
@@ -229,6 +248,18 @@ class RAINConfig:
 
 
 @dataclass
+class DDFSegConfig:
+    """DDFSeg loss weights (reference Trainer_DDFSeg.py:29-35 defaults)."""
+    w_adv_t: float = 1.0
+    w_adv_s: float = 1.0
+    w_cyc: float = 1.0
+    w_adv_aux: float = 0.1
+    w_zero: float = 0.01
+    w_seg: float = 0.1
+    w_adv_seg: float = 0.1
+
+
+@dataclass
 class MeshConfig:
     """Device-mesh / parallelism settings (TPU-native; reference has none)."""
     data_axis: int = -1               # -1 = all devices on the data axis
@@ -269,6 +300,8 @@ class RunConfig:
     # regeneration with class-balanced thresholds, LR halved per round)
     bcl_round_epochs: int = 10
     bcl_prop: float = 0.5
+    bcl_lambt: float = 0.3            # target-loss weight (Trainer_BCL.py:46)
+    bcl_lamb: float = 0.4             # entropy-loss weight (Trainer_BCL.py:47)
 
 
 @dataclass
@@ -281,6 +314,7 @@ class Config:
     adv: AdversarialConfig = field(default_factory=AdversarialConfig)
     contrastive: ContrastiveConfig = field(default_factory=ContrastiveConfig)
     rain: RAINConfig = field(default_factory=RAINConfig)
+    ddfseg: DDFSegConfig = field(default_factory=DDFSegConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     run: RunConfig = field(default_factory=RunConfig)
 

@@ -37,12 +37,20 @@ class TrainState:
 
 
 def make_optimizer(name: str, lr: float = 1.0, momentum: float = 0.9,
-                   weight_decay: float = 0.0, betas=(0.9, 0.999)) -> optax.GradientTransformation:
+                   weight_decay: float = 0.0, betas=(0.9, 0.999),
+                   lr10_keys: tuple = ()) -> optax.GradientTransformation:
     """SGD/Adam matching the reference recipes (Trainer_baseline.py:169-187,
     Trainer_AdaptSeg.py:92-117: Adam(lr_dis, betas=(0.9, 0.99))).
 
     The learning rate is injected per-epoch via ``inject_hyperparams`` so the
     jitted step stays compiled across LR changes.
+
+    ``lr10_keys``: top-level param-tree keys updated at 10x the base LR —
+    the reference DeepLab convention of a 10x classifier-head group
+    (model/deeplabv2.py:138-175 optim_parameters, lr_adjust.py:15-16
+    ``param_groups[1]['lr'] = lr * 10``). Implemented as a masked
+    ``optax.scale(10)`` after the base update, which is exactly a 10x LR
+    for that group (weight decay included).
     """
     def build(learning_rate):
         if name == "sgd":
@@ -54,6 +62,11 @@ def make_optimizer(name: str, lr: float = 1.0, momentum: float = 0.9,
             tx = optax.adam(learning_rate, b1=betas[0], b2=betas[1])
         else:
             raise ValueError(f"unknown optimizer {name!r}")
+        if lr10_keys:
+            def mask(tree):
+                return {k: jax.tree.map(lambda _: k in lr10_keys, v)
+                        for k, v in tree.items()}
+            tx = optax.chain(tx, optax.masked(optax.scale(10.0), mask))
         return tx
     return optax.inject_hyperparams(build)(learning_rate=lr)
 
@@ -86,19 +99,24 @@ def create_train_state(cfg, model, *, disc=None, disc_aux=None,
     rng = jax.random.PRNGKey(seed)
     k_seg, k_d, k_da, k_state = jax.random.split(rng, 4)
 
+    # 10x classifier-head LR group for the DeepLab backbones (reference
+    # optim_parameters, model/deeplabv2.py:173-175)
+    lr10 = (("layer5", "layer6")
+            if cfg.model.backbone.lower() in ("deeplabv2", "deeplab") else ())
     txs = {"seg": make_optimizer(cfg.optim.optimizer, cfg.optim.lr,
                                  momentum=cfg.optim.momentum,
-                                 weight_decay=cfg.optim.weight_decay)}
+                                 weight_decay=cfg.optim.weight_decay,
+                                 lr10_keys=lr10)}
     x = jnp.zeros(sample_shape, jnp.float32)
     seg = init_net(model, k_seg, x, txs["seg"])
 
     d_main = d_aux = None
     if disc is not None:
-        txs["d_main"] = make_optimizer("adam", cfg.optim.lr_dis, betas=(0.9, 0.99))
+        txs["d_main"] = make_optimizer("adam", cfg.optim.lr_dis, betas=(cfg.adv.mmt1, cfg.adv.mmt))
         dx = jnp.zeros(sample_shape[:3] + (cfg.model.num_classes,), jnp.float32)
         d_main = init_net(disc, k_d, dx, txs["d_main"], train_kwarg=False)
     if disc_aux is not None:
-        txs["d_aux"] = make_optimizer("adam", cfg.optim.lr_dis, betas=(0.9, 0.99))
+        txs["d_aux"] = make_optimizer("adam", cfg.optim.lr_dis, betas=(cfg.adv.mmt1, cfg.adv.mmt))
         dx = jnp.zeros(sample_shape[:3] + (cfg.model.num_classes,), jnp.float32)
         d_aux = init_net(disc_aux, k_da, dx, txs["d_aux"], train_kwarg=False)
 

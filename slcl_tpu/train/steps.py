@@ -97,19 +97,24 @@ def _entropy_map(logits, kind: str):
 # baseline
 # ---------------------------------------------------------------------------
 def make_baseline_step(cfg, model, txs) -> Callable:
-    aux_w = getattr(cfg.adv, "w_seg_aux", 0.1)
+    aux_w = cfg.adv.w_seg_aux
+    # Domain selection (Trainer_baseline.py:221-227): train_with_s wins;
+    # train_with_t alone = supervised-target oracle.
+    on_target = cfg.data.train_with_t and not cfg.data.train_with_s
+    img_key, lab_key = ("img_t", "lab_t") if on_target else ("img_s", "lab_s")
+    loss_key = "seg_t" if on_target else "seg_s"
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
         def loss_fn(params):
             out, new_bs = _apply_seg(model, state.seg.replace(params=params),
-                                     batch["img_s"], remat=cfg.model.remat)
-            loss = L.loss_calc(out.pred, batch["lab_s"], jaccard=True)
-            metrics = {"seg_s": loss}
+                                     batch[img_key], remat=cfg.model.remat)
+            loss = L.loss_calc(out.pred, batch[lab_key], jaccard=True)
+            metrics = {loss_key: loss}
             if out.aux is not None:
-                laux = L.loss_calc(out.aux, batch["lab_s"], jaccard=True)
+                laux = L.loss_calc(out.aux, batch[lab_key], jaccard=True)
                 loss = loss + aux_w * laux
-                metrics["seg_s_aux"] = laux
+                metrics[loss_key + "_aux"] = laux
             return loss, (new_bs, metrics)
 
         grads, (new_bs, metrics) = jax.grad(loss_fn, has_aux=True)(state.seg.params)
@@ -223,7 +228,7 @@ def _gan_step(cfg, model, disc, disc_aux, txs, gen_loss_fn):
 # AdaptSeg (output-space adversarial)
 # ---------------------------------------------------------------------------
 def make_adaptseg_step(cfg, model, disc, disc_aux, txs) -> Callable:
-    aux_w = 0.1  # reference w_seg_aux default
+    aux_w = cfg.adv.w_seg_aux
 
     def gen_loss(params, state, batch, sched):
         net = state.seg.replace(params=params)
@@ -260,7 +265,7 @@ def make_adaptseg_step(cfg, model, disc, disc_aux, txs) -> Callable:
 # AdvEnt (entropy-map adversarial + optional ent-min / class prior)
 # ---------------------------------------------------------------------------
 def make_advent_step(cfg, model, disc, disc_aux, txs) -> Callable:
-    aux_w = 0.1
+    aux_w = cfg.adv.w_seg_aux
     prior = jnp.asarray(cfg.adv.class_prior, jnp.float32)
 
     def gen_loss(params, state, batch, sched):

@@ -42,10 +42,12 @@ def _adam_update(tx, net: NetState, grads, lr):
 def make_ddfseg_step(cfg, ddfnet, segdecoder, d_s, d_t, d_seg, txs) -> Callable:
     """state.seg = (ddfnet + segdecoder) params packed as
     {'ddfnet': ..., 'segdecoder': ...}; d_main/d_aux/extra['d_seg'] hold the
-    three discriminators. Weights per reference defaults
-    (Trainer_DDFSeg.py:25-36)."""
-    w_seg, w_cyc, w_zero = 0.1, 1.0, 0.01
-    w_adv_t, w_adv_s, w_adv_aux, w_adv_seg = 1.0, 1.0, 0.1, 0.1
+    three discriminators. Weights from cfg.ddfseg (reference defaults,
+    Trainer_DDFSeg.py:25-36)."""
+    dd = cfg.ddfseg
+    w_seg, w_cyc, w_zero = dd.w_seg, dd.w_cyc, dd.w_zero
+    w_adv_t, w_adv_s, w_adv_aux, w_adv_seg = (dd.w_adv_t, dd.w_adv_s,
+                                              dd.w_adv_aux, dd.w_adv_seg)
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
@@ -161,10 +163,15 @@ def make_ddfseg_step(cfg, ddfnet, segdecoder, d_s, d_t, d_seg, txs) -> Callable:
 # ---------------------------------------------------------------------------
 # AdaptEvery
 # ---------------------------------------------------------------------------
-def make_adaptevery_step(cfg, model, d_main, d_aux, d_ent, d_point, txs,
-                         w_seg_aux=0.1, wp=0.1, w_dis=1e-3, w_dis_aux=2e-4,
-                         w_d_ent=1e-3, w_d_point=1e-3) -> Callable:
-    """model: ResNetUNetPoint returning (SegOutput, pred_vert)."""
+def make_adaptevery_step(cfg, model, d_main, d_aux, d_ent, d_point, txs) -> Callable:
+    """model: ResNetUNetPoint returning (SegOutput, pred_vert).
+
+    Loss weights come from cfg.adv (reference defaults: w_seg_aux 0.1,
+    wp 1.0, w_dis 1e-3, w_dis_aux 2e-4, w_d_ent 1e-3, w_d_point 1e-3 —
+    Trainer_AdaptSeg.py:26-30, Trainer_AdaptEvery.py:29-31)."""
+    w_seg_aux, wp = cfg.adv.w_seg_aux, cfg.adv.wp
+    w_dis, w_dis_aux = cfg.adv.w_dis, cfg.adv.w_dis_aux
+    w_d_ent, w_d_point = cfg.adv.w_d_ent, cfg.adv.w_d_point
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
@@ -269,13 +276,18 @@ def make_adaptevery_step(cfg, model, d_main, d_aux, d_ent, d_point, txs,
 # ---------------------------------------------------------------------------
 # BCL
 # ---------------------------------------------------------------------------
-def make_bcl_step(cfg, model, txs, *, lambda_t=1.0, w_ent=0.0,
-                  lamb_metric1=1.0, lamb_metric2=1.0) -> Callable:
+def make_bcl_step(cfg, model, txs) -> Callable:
     """BCL self-training step (reference Trainer_BCL.py:222-275 with the
     documented intent — the snapshot's `init_test_dataset` import and
     Cityscapes shapes are vestigial). ``batch['plabel_t']`` carries the
-    round's pseudo-labels with 255 = ignore."""
+    round's pseudo-labels with 255 = ignore.
+
+    Loss composition per the reference: ``(ce_s + lambt*ce_t) +
+    lamb*(ent_s + lambt*ent_t) + metric`` with lambt=0.3, lamb=0.4
+    defaults (Trainer_BCL.py:46-47, :238-259)."""
     num_classes = cfg.model.num_classes
+    lambt = cfg.run.bcl_lambt
+    lamb = cfg.run.bcl_lamb
 
     @jax.jit
     def step(state: TrainState, batch: Dict[str, Array], sched: Dict[str, Array]):
@@ -295,7 +307,8 @@ def make_bcl_step(cfg, model, txs, *, lambda_t=1.0, w_ent=0.0,
                 if mutable else variables, img_t, True, False, mutable=mutable)
             ce_s = L.cross_entropy_loss(pred_s, labels_s)
             ce_t = L.cross_entropy_ignore(pred_t, plabel_t, 255)
-            ent = jnp.mean(L.bcl_entropy_loss(pred_t))
+            ent = (jnp.mean(L.bcl_entropy_loss(pred_s))
+                   + lambt * jnp.mean(L.bcl_entropy_loss(pred_t)))
 
             # bidirectional prototype metric loss (loss.py:168-219): source
             # prototypes vs target features and vice versa, CE on overlap
@@ -314,9 +327,9 @@ def make_bcl_step(cfg, model, txs, *, lambda_t=1.0, w_ent=0.0,
                 jnp.transpose(cs_map1, (1, 2, 0))[None], plab_small[None], 255)
             m2 = L.cross_entropy_ignore(
                 jnp.transpose(cs_map2, (1, 2, 0))[None], lab_s_small[None], 255)
-            metric = lamb_metric1 * m1 + lamb_metric2 * m2
+            metric = m1 + m2
 
-            total = ce_s + lambda_t * ce_t + w_ent * ent + metric
+            total = ce_s + lambt * ce_t + lamb * ent + metric
             metrics = {"seg_s": ce_s, "seg_t_pseudo": ce_t, "loss_ent": ent,
                        "metric_loss": metric}
             new_bs = upd.get("batch_stats", state.seg.batch_stats) if mutable \

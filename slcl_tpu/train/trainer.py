@@ -90,7 +90,12 @@ class Trainer:
                                ("decoder", cfg.rain.decoder_ckpt),
                                ("fc_encoder", cfg.rain.fc_encoder_ckpt),
                                ("fc_decoder", cfg.rain.fc_decoder_ckpt)):
-                if path and os.path.exists(path):
+                if path and not os.path.exists(path):
+                    # a configured-but-missing checkpoint must not silently
+                    # fall back to random init (it invalidates any RAIN run)
+                    raise FileNotFoundError(
+                        f"rain.{name} checkpoint not found: {path!r}")
+                if path:
                     if str(path).endswith((".pth", ".pt")):
                         # torch checkpoints (reference load_rain_models
                         # inputs, model/RAIN.py:124-157) convert on the fly
@@ -274,7 +279,7 @@ class Trainer:
         d_t = PatchGAN()
         d_s = PatchGAN(aux=True)
         d_seg = PatchGAN()
-        tx_d = lambda: make_optimizer("adam", cfg.optim.lr_dis, betas=(0.9, 0.99))
+        tx_d = lambda: make_optimizer("adam", cfg.optim.lr_dis, betas=(cfg.adv.mmt1, cfg.adv.mmt))
         self.txs = {"seg": tx, "d_main": tx_d(), "d_aux": tx_d(),
                     "d_seg": tx_d()}
 
@@ -333,7 +338,7 @@ class Trainer:
         tx = make_optimizer(cfg.optim.optimizer, cfg.optim.lr,
                             momentum=cfg.optim.momentum,
                             weight_decay=cfg.optim.weight_decay)
-        tx_d = lambda: make_optimizer("adam", cfg.optim.lr_dis, betas=(0.9, 0.99))
+        tx_d = lambda: make_optimizer("adam", cfg.optim.lr_dis, betas=(cfg.adv.mmt1, cfg.adv.mmt))
         self.txs = {"seg": tx, "d_main": tx_d(), "d_aux": tx_d(),
                     "d_ent": tx_d(), "d_point": tx_d()}
         d_main, d_aux, d_ent = (UncertaintyDiscriminator() for _ in range(3))
@@ -452,9 +457,16 @@ class Trainer:
     def _sched(self, epoch: int) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         lr = schedules.get_lr(cfg.optim.lr_decay_method, cfg.optim.lr, epoch,
-                              cfg.optim.epochs, cfg.optim.power, cfg.optim.lr_end)
-        lr_dis = schedules.get_lr(cfg.optim.lr_decay_method, cfg.optim.lr_dis,
-                                  epoch, cfg.optim.epochs, cfg.optim.power)
+                              cfg.optim.epochs, cfg.optim.power,
+                              cfg.optim.lr_end, cfg.optim.lr_decay)
+        # D LR decays only when adjust_lr_dis is set; the reference default
+        # keeps it constant (Trainer_AdaptSeg.py:119-127)
+        if cfg.optim.adjust_lr_dis:
+            lr_dis = schedules.get_lr(cfg.optim.lr_decay_method,
+                                      cfg.optim.lr_dis, epoch,
+                                      cfg.optim.epochs, cfg.optim.power)
+        else:
+            lr_dis = cfg.optim.lr_dis
         warm = 1.0 if epoch >= cfg.contrastive.warmup_epochs else 0.0
         eps_on = 1.0 if (warm > 0 and cfg.rain.enabled
                          and cfg.rain.update_eps) else 0.0
@@ -469,6 +481,15 @@ class Trainer:
         train_s = Loader(self.datasets["train_s"], cfg.data.bs, seed=cfg.data.seed,
                          num_threads=cfg.data.num_workers)
         if cfg.method == "baseline":
+            if cfg.data.train_with_t and not cfg.data.train_with_s:
+                # supervised-target oracle (Trainer_baseline.py:221-227)
+                train_t = Loader(self.datasets["train_t"], cfg.data.bs,
+                                 seed=cfg.data.seed + 17,
+                                 num_threads=cfg.data.num_workers)
+                for batch in train_t:
+                    yield {"img_t": batch[0], "lab_t": batch[1],
+                           "names_t": batch[-1]}
+                return
             for batch in train_s:
                 yield {"img_s": batch[0], "lab_s": batch[1], "names_s": batch[-1]}
             return

@@ -134,3 +134,33 @@ def test_multilvl_aux_discriminator(rng):
     assert "loss_dis_aux" in metrics
     da1 = jax.tree.leaves(state2.d_aux.params)[0]
     assert not np.allclose(da0, np.asarray(da1))
+
+
+def test_baseline_train_with_t(rng):
+    """train_with_t (supervised-target oracle) trains on the target batch
+    (reference Trainer_baseline.py:34-37, :221-227)."""
+    cfg = tiny_cfg("baseline")
+    cfg.data.train_with_s = False
+    cfg.data.train_with_t = True
+    state, step = build(cfg)
+    batch = make_batch(rng, "baseline")
+    batch["lab_t"] = jnp.asarray(
+        rng.integers(0, 4, size=(2, H, W)).astype(np.int32))
+    state2, metrics = step(state, batch, sched())
+    assert "seg_t" in metrics and np.isfinite(float(metrics["seg_t"]))
+    assert int(state2.step) == 1
+
+
+def test_w_seg_aux_scales_aux_loss(rng):
+    """adv.w_seg_aux weights the multilvl aux seg loss (Trainer_AdaptSeg.py:160)."""
+    params = {}
+    for w in (0.0, 10.0):
+        cfg = tiny_cfg("baseline", )
+        cfg.model.multilvl = True
+        cfg.adv.w_seg_aux = w
+        state, step = build(cfg)
+        batch = make_batch(rng, "baseline")
+        s2, m = step(state, batch, sched())
+        assert "seg_s_aux" in m
+        params[w] = np.asarray(jax.tree.leaves(s2.seg.params)[0])
+    assert not np.allclose(params[0.0], params[10.0])
