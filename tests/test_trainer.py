@@ -199,3 +199,14 @@ def test_fast_val_matches_host_dice(tmp_path):
     host = t.eval("valid_t", ifhd=False, ifasd=False)
     fast = t.eval("valid_t", fast=True)
     np.testing.assert_allclose(fast["dc"][0::2], host["dc"][0::2], atol=1e-6)
+
+
+def test_missing_rain_ckpt_raises(tmp_path):
+    """A configured-but-absent rain checkpoint must fail loudly, not fall
+    back to a random-init RAIN net (which silently invalidates the run)."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, method="mccl")
+    cfg.rain.enabled = True
+    cfg.rain.vgg_ckpt = str(tmp_path / "nonexistent.npz")
+    with pytest.raises(FileNotFoundError, match="rain.encoder"):
+        Trainer(cfg)
