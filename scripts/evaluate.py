@@ -16,7 +16,7 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
-from slcl_tpu.config import Config  # noqa: E402
+from slcl_tpu.config import Config, apply_recipe  # noqa: E402
 
 
 def main(argv):
@@ -24,6 +24,7 @@ def main(argv):
                   "baseline")
     cfg = Config()
     cfg.method = method
+    cfg = apply_recipe(cfg)  # presets change param-tree structure (phead!)
     cfg = Config.from_cli(argv, base=cfg)
     cfg.method = method
 
@@ -31,10 +32,15 @@ def main(argv):
     trainer = Trainer(cfg)
     tag = cfg.run.restore_from or "best"
     try:
-        trainer.restore_checkpoint(tag)
-        print(f"restored checkpoint '{tag}'")
+        trainer.restore_checkpoint(tag, params_only=True)
+        print(f"restored checkpoint '{tag}' (params+batch_stats)")
     except Exception as e:
-        print(f"no checkpoint restored ({e}); evaluating initial weights")
+        # evaluating random initial weights silently is worse than failing
+        raise SystemExit(
+            f"checkpoint restore failed for {tag!r}: {e}\n"
+            "(check run.out_dir/run.apdx and that method/model flags match "
+            "the training run — presets like mccl's model.phead change the "
+            "parameter tree)")
     print("--- target test ---")
     results = trainer.eval("test_t", toprint=True)
     print("--- target valid ---")

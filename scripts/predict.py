@@ -25,7 +25,7 @@ import cv2  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-from slcl_tpu.config import Config  # noqa: E402
+from slcl_tpu.config import Config, apply_recipe  # noqa: E402
 
 
 def main(argv):
@@ -36,6 +36,7 @@ def main(argv):
                   "baseline")
     cfg = Config()
     cfg.method = method
+    cfg = apply_recipe(cfg)  # presets change param-tree structure (phead!)
     cfg = Config.from_cli(argv, base=cfg)
     cfg.method = method
 
@@ -46,7 +47,7 @@ def main(argv):
 
     trainer = Trainer(cfg)
     if cfg.run.restore_from:
-        trainer.restore_checkpoint(cfg.run.restore_from)
+        trainer.restore_checkpoint(cfg.run.restore_from, params_only=True)
         print(f"restored '{cfg.run.restore_from}'")
 
     out = Path(out_dir)

@@ -24,48 +24,7 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from slcl_tpu.config import Config  # noqa: E402
-
-
-def apply_recipe(cfg: Config) -> Config:
-    """Per-method hyperparameter presets mirroring the entry scripts."""
-    m = cfg.method
-    if m == "slcl":
-        # train_SLCL.py: fold 0, epochs 300, resnet50/multilvl in the paper
-        # repo; DRUNet is the native backbone with the matching (4,32)
-        # center files.
-        cfg.contrastive.src_temp = 0.1
-        cfg.contrastive.trg_temp = 0.1
-        cfg.contrastive.src_margin = 0.4
-        cfg.contrastive.trg_margin = 0.2
-        cfg.contrastive.class_center_m = 0.9
-        cfg.contrastive.CNR = True
-        cfg.contrastive.CNR_w = 4e-5
-        cfg.contrastive.part = 2
-        cfg.optim.lr = 8e-4
-    elif m == "rain":
-        cfg.rain.enabled = True
-    elif m == "adaptevery":
-        cfg.data.vert = True
-        cfg.model.multilvl = True
-        cfg.model.backbone = "resnet50"
-    elif m == "ddfseg":
-        cfg.optim.optimizer = "adam"
-        cfg.optim.lr = 2e-4
-        cfg.optim.lr_dis = 2e-4
-    elif m == "mccl":
-        cfg.contrastive.clda = True
-        cfg.contrastive.wtd_ave = True
-        cfg.contrastive.part = 2
-        cfg.contrastive.inter_w = 1.0
-        cfg.contrastive.CNR = True
-        cfg.contrastive.CNR_w = 4e-5
-        cfg.contrastive.tau = 0.1
-        cfg.contrastive.ctd_mmt = 0.9
-        cfg.model.phead = True
-        cfg.optim.lr = 8e-4
-        cfg.data.aug_counter = True
-    return cfg
+from slcl_tpu.config import Config, apply_recipe  # noqa: E402
 
 
 def main(argv):

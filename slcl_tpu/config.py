@@ -432,3 +432,52 @@ def build_apdx(cfg: Config) -> str:
     if cfg.model.phead:
         parts.append("ph")
     return ".".join(parts)
+
+
+def apply_recipe(cfg: "Config") -> "Config":
+    """Per-method hyperparameter presets mirroring the reference entry
+    scripts (train_SLCL.py:6-48, train_MCCL.py:35-48, train_baseline.py:27-42).
+
+    Every CLI entry (train/evaluate/predict/gen_class_centers) must apply
+    this BEFORE constructing models: presets like mccl's ``model.phead``
+    change the parameter-tree structure, and a mismatch breaks checkpoint
+    restore (an eval harness that forgot this silently evaluated initial
+    weights — now shared here so it cannot drift).
+    """
+    m = cfg.method
+    if m == "slcl":
+        # train_SLCL.py: fold 0, epochs 300, resnet50/multilvl in the paper
+        # repo; DRUNet is the native backbone with the matching (4,32)
+        # center files.
+        cfg.contrastive.src_temp = 0.1
+        cfg.contrastive.trg_temp = 0.1
+        cfg.contrastive.src_margin = 0.4
+        cfg.contrastive.trg_margin = 0.2
+        cfg.contrastive.class_center_m = 0.9
+        cfg.contrastive.CNR = True
+        cfg.contrastive.CNR_w = 4e-5
+        cfg.contrastive.part = 2
+        cfg.optim.lr = 8e-4
+    elif m == "rain":
+        cfg.rain.enabled = True
+    elif m == "adaptevery":
+        cfg.data.vert = True
+        cfg.model.multilvl = True
+        cfg.model.backbone = "resnet50"
+    elif m == "ddfseg":
+        cfg.optim.optimizer = "adam"
+        cfg.optim.lr = 2e-4
+        cfg.optim.lr_dis = 2e-4
+    elif m == "mccl":
+        cfg.contrastive.clda = True
+        cfg.contrastive.wtd_ave = True
+        cfg.contrastive.part = 2
+        cfg.contrastive.inter_w = 1.0
+        cfg.contrastive.CNR = True
+        cfg.contrastive.CNR_w = 4e-5
+        cfg.contrastive.tau = 0.1
+        cfg.contrastive.ctd_mmt = 0.9
+        cfg.model.phead = True
+        cfg.optim.lr = 8e-4
+        cfg.data.aug_counter = True
+    return cfg

@@ -605,15 +605,39 @@ class Trainer:
         ckptr.save(path, self.state, force=True)
         ckptr.wait_until_finished()
 
-    def restore_checkpoint(self, tag: str = "best"):
+    def restore_checkpoint(self, tag: str = "best", params_only: bool = False):
         """Restore the full TrainState; ``tag`` is a tag under out_dir or an
-        absolute checkpoint path (reference -restore_from parity)."""
+        absolute checkpoint path (reference -restore_from parity).
+
+        ``params_only``: restore only the network weights/batch-stats leaves
+        (for eval/serving) — optimizer state in the checkpoint is ignored,
+        so the restoring process does not need to reconstruct the training
+        optimizer (e.g. evaluate.py need not know the run used adam)."""
         import orbax.checkpoint as ocp
         p = Path(tag)
         path = p.absolute() if (p.is_absolute() or p.exists()) \
             else (self.out_dir / f"ckpt_{tag}").absolute()
         ckptr = ocp.StandardCheckpointer()
-        self.state = ckptr.restore(path, self.state)
+        if not params_only:
+            self.state = ckptr.restore(path, self.state)
+            return
+        import jax as _jax
+        # template-free restore returns the saved tree as nested dicts, so
+        # the saved optimizer state never has to match this process's
+        raw = ckptr.restore(path)
+        nets = {}
+        for name in ("seg", "d_main", "d_aux"):
+            net = getattr(self.state, name)
+            sub = raw.get(name) if isinstance(raw, dict) else None
+            if net is None or sub is None:
+                continue
+            nets[name] = net.replace(
+                params=_jax.tree.map(jnp.asarray, sub["params"]),
+                batch_stats=_jax.tree.map(jnp.asarray,
+                                          sub.get("batch_stats", {})))
+        if not nets:
+            raise ValueError(f"no network subtrees found in checkpoint {path}")
+        self.state = self.state.replace(**nets)
 
     # ------------------------------------------------------------------
     def stop_training(self, epoch: int, epoch_time: float, score: float) -> bool:

@@ -210,3 +210,23 @@ def test_missing_rain_ckpt_raises(tmp_path):
     cfg.rain.vgg_ckpt = str(tmp_path / "nonexistent.npz")
     with pytest.raises(FileNotFoundError, match="rain.encoder"):
         Trainer(cfg)
+
+
+def test_params_only_restore_across_optimizers(tmp_path):
+    """Eval/serving restore must not depend on the training optimizer:
+    a checkpoint saved from an adam run restores into an sgd-configured
+    trainer with params_only=True (scripts/evaluate.py path)."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, epochs=1)
+    cfg.optim.optimizer = "adam"
+    t = Trainer(cfg)
+    t.train()
+    p_trained = np.asarray(jax.tree.leaves(t.state.seg.params)[0])
+
+    cfg2 = tiny_cfg(tmp_path, epochs=1)
+    cfg2.optim.optimizer = "sgd"  # different opt-state structure
+    t2 = Trainer(cfg2)
+    t2.out_dir = t.out_dir
+    t2.restore_checkpoint("last", params_only=True)
+    p_restored = np.asarray(jax.tree.leaves(t2.state.seg.params)[0])
+    np.testing.assert_array_equal(p_trained, p_restored)
