@@ -284,7 +284,6 @@ class RunConfig:
     early_stop_patience: int = 0      # 0 = disabled
     max_duration_s: float = 24 * 3600 - 300  # reference Trainer.py:23
     restore_from: str = ""
-    log_metrics_every: int = 1
     klc: bool = True                  # keep-largest-connected-component postproc
     # per-epoch validation entirely on device (dice only, no KLC): one
     # readback per epoch instead of label-map pulls; the final test always

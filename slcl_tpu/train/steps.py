@@ -345,11 +345,12 @@ def make_mpscl_step(cfg, model, disc, disc_aux, txs,
         mpcl_src = L.mpcl_loss_calc(
             out_s.dcdr_ft, labels_s, centers,
             temperature=c.src_temp, base_temperature=c.src_base_temp,
-            margin=c.src_margin)
+            margin=c.src_margin, easy_margin=c.easy_margin)
         mpcl_trg = L.mpcl_loss_calc(
             out_t.dcdr_ft, plab_t, centers,
             temperature=c.trg_temp, base_temperature=c.trg_base_temp,
-            margin=c.trg_margin, pixel_sel_loc=pmask_t, resize_labels=False)
+            margin=c.trg_margin, pixel_sel_loc=pmask_t, resize_labels=False,
+            easy_margin=c.easy_margin)
         metrics["loss_mpscl_tr"] = mpcl_src
         metrics["loss_mpscl_tg"] = mpcl_trg
 

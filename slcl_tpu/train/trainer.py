@@ -689,6 +689,13 @@ class Trainer:
                                     fast=cfg.run.fast_val)
                 dice = mean_fg_dice(results)
                 record["val_dice"] = dice
+                if cfg.run.evalT and "test_t" in self.datasets:
+                    # '-evalT' parity: also track test-set dice during
+                    # training (reference Trainer.py:44; selection still
+                    # uses val_dice)
+                    tres = self.eval("test_t", ifhd=False, ifasd=False,
+                                     fast=cfg.run.fast_val)
+                    record["test_dice"] = mean_fg_dice(tres)
                 if mcp.step(dice, epoch):
                     self.best_score = dice
                     self.best_epoch = epoch

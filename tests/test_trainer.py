@@ -230,3 +230,15 @@ def test_params_only_restore_across_optimizers(tmp_path):
     t2.restore_checkpoint("last", params_only=True)
     p_restored = np.asarray(jax.tree.leaves(t2.state.seg.params)[0])
     np.testing.assert_array_equal(p_trained, p_restored)
+
+
+def test_evalT_logs_test_dice(tmp_path):
+    """run.evalT also evaluates the test split each eval epoch
+    (reference -evalT, Trainer.py:44)."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, epochs=1)
+    cfg.run.evalT = True
+    t = Trainer(cfg)
+    t.train()
+    rec = t.history[-1]
+    assert "val_dice" in rec and "test_dice" in rec
