@@ -197,6 +197,11 @@ class ContrastiveConfig:
     init_centers: str = ""            # path to (C, F) .npy init class centers
     # MCCL / SLCL-proper
     clda: bool = True                 # enable centroid contrastive loss
+    # contrastive temperature: recorded in the run fingerprint for parity,
+    # but the reference's EXECUTED vectorized ContrastiveLoss applies no
+    # temperature (loss.py:264-275; the tau-using loop is commented out) —
+    # we reproduce that; pass tau= to ops.losses.centroid_contrastive_loss
+    # directly for the legacy loop semantics
     tau: float = 0.1
     ctd_mmt: float = 0.9              # centroid EMA momentum
     inter_w: float = 1.0
@@ -261,10 +266,11 @@ class DDFSegConfig:
 
 @dataclass
 class MeshConfig:
-    """Device-mesh / parallelism settings (TPU-native; reference has none)."""
-    data_axis: int = -1               # -1 = all devices on the data axis
+    """Device-mesh / parallelism settings (TPU-native; reference has none).
+
+    The mesh is Mesh(('data','model')) with data-axis size =
+    n_devices / model_axis."""
     model_axis: int = 1
-    axis_names: Tuple[str, str] = ("data", "model")
     fsdp: bool = False                # shard params/opt over 'model' axis
     fsdp_min_size: int = 2 ** 16      # leaves smaller than this stay replicated
     spatial: bool = False             # shard image rows over 'model' axis
