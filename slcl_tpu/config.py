@@ -254,7 +254,14 @@ class RAINConfig:
 
 @dataclass
 class DDFSegConfig:
-    """DDFSeg loss weights (reference Trainer_DDFSeg.py:29-35 defaults)."""
+    """DDFSeg loss weights (reference Trainer_DDFSeg.py:29-35 defaults) and
+    network sizing (reference DDFSeg.py module defaults)."""
+    filters: int = 16                 # content-encoder width (DDFSeg.py:92)
+    style_filters: int = 8            # style-encoder width (DDFSeg.py:212)
+    ngf: int = 32                     # decoder/seg-head width (DDFSeg.py:6)
+    # collapse repeated identity-shape res stacks to 1 block each — a
+    # compile-budget lever for CI / the multichip dryrun only
+    slim: bool = False
     w_adv_t: float = 1.0
     w_adv_s: float = 1.0
     w_cyc: float = 1.0
@@ -290,6 +297,15 @@ class RunConfig:
     early_stop_patience: int = 0      # 0 = disabled
     max_duration_s: float = 24 * 3600 - 300  # reference Trainer.py:23
     restore_from: str = ""
+    # warm-start: load network weights/batch-stats (params only — no
+    # optimizer state, step counter, or centroids) from a checkpoint before
+    # training. This is the reference SLCL protocol's pretrained-segmentor
+    # init (Trainer_MPSCL loads a source-trained model + its matching
+    # class-center file; see contrastive.init_centers). Unlike restore_from
+    # (a full resume that must match the training tree), init_from accepts
+    # cross-method checkpoints (e.g. baseline -> mpscl) and raises on
+    # failure instead of silently training from scratch.
+    init_from: str = ""
     klc: bool = True                  # keep-largest-connected-component postproc
     # per-epoch validation entirely on device (dice only, no KLC): one
     # readback per epoch instead of label-map pulls; the final test always

@@ -146,7 +146,7 @@ class ResNetUNet(nn.Module):
         if self.multilvl:
             aux = nn.Conv(self.num_classes, (1, 1), kernel_init=_INIT,
                           dtype=self.dtype, name="aux_head")(feats[-2])
-            aux = upsample_bilinear(aux, in_size)
+            aux = upsample_bilinear(aux, in_size, align_corners=True)
 
         dcdr_ft = y
         if self.feat_dim and self.feat_dim != self.decoder_channels[-1]:
@@ -175,11 +175,13 @@ class ResNetUNetPoint(nn.Module):
     num_classes: int = 4
     n_points: int = 300
     multilvl: bool = True
+    layers: Sequence[int] = (3, 4, 6, 3)  # ResNet-50; override for CI/dryrun
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        out = ResNetUNet(num_classes=self.num_classes, multilvl=self.multilvl,
+        out = ResNetUNet(num_classes=self.num_classes, layers=self.layers,
+                         multilvl=self.multilvl,
                          dtype=self.dtype, name="unet")(x, train)
         h = nn.Conv(256, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
                     kernel_init=_INIT, dtype=self.dtype,

@@ -148,7 +148,15 @@ class Trainer:
         centroids = None
         self._centroids_loaded = False
         if cfg.method in ("mpscl", "slcl", "mccl"):
-            if cfg.contrastive.init_centers and os.path.exists(cfg.contrastive.init_centers):
+            if cfg.contrastive.init_centers:
+                # a configured-but-missing center file must not silently
+                # degrade to the zero-init bootstrap (same hazard class as
+                # the missing-RAIN-ckpt bug, examples/README.md)
+                if not os.path.exists(cfg.contrastive.init_centers):
+                    raise FileNotFoundError(
+                        f"contrastive.init_centers="
+                        f"{cfg.contrastive.init_centers!r} does not exist "
+                        "(generate with scripts/gen_class_centers.py)")
                 centroids = jnp.asarray(np.load(cfg.contrastive.init_centers),
                                         jnp.float32)
                 self._centroids_loaded = True
@@ -266,12 +274,17 @@ class Trainer:
         cfg = self.cfg
         H = cfg.data.crop
         k = _jax.random.split(_jax.random.PRNGKey(cfg.run.seed), 8)
-        self.ddfnet = DDFNet()
-        self.segdecoder = SegDecoder(num_classes=cfg.model.num_classes)
+        self.ddfnet = DDFNet(filters=cfg.ddfseg.filters,
+                             style_filters=cfg.ddfseg.style_filters,
+                             ngf=cfg.ddfseg.ngf, slim=cfg.ddfseg.slim)
+        self.segdecoder = SegDecoder(num_classes=cfg.model.num_classes,
+                                     ngf=cfg.ddfseg.ngf, slim=cfg.ddfseg.slim)
         imgs = jnp.zeros((1, H, H, 3), jnp.float32)
         dv = self.ddfnet.init({"params": k[0], "dropout": k[1]}, imgs, imgs, True)
+        content_ch = 32 * cfg.ddfseg.filters
         sv = self.segdecoder.init({"params": k[2], "dropout": k[3]},
-                                  jnp.zeros((1, H // 8, H // 8, 512)), True)
+                                  jnp.zeros((1, H // 8, H // 8, content_ch)),
+                                  True)
         params = {"ddfnet": dv["params"], "segdecoder": sv["params"]}
         bstats = {"ddfnet": dv.get("batch_stats", {}),
                   "segdecoder": sv.get("batch_stats", {})}
@@ -332,7 +345,9 @@ class Trainer:
         cfg = self.cfg
         H = cfg.data.crop
         k = _jax.random.split(_jax.random.PRNGKey(cfg.run.seed), 8)
-        self.model = ResNetUNetPoint(num_classes=cfg.model.num_classes)
+        layers = tuple(cfg.model.layers) or (3, 4, 6, 3)
+        self.model = ResNetUNetPoint(num_classes=cfg.model.num_classes,
+                                     layers=layers)
         v = self.model.init({"params": k[0], "dropout": k[1]},
                             jnp.zeros((1, H, H, 3), jnp.float32), True)
         tx = make_optimizer(cfg.optim.optimizer, cfg.optim.lr,
@@ -527,15 +542,24 @@ class Trainer:
             sp = (cfg.mesh.spatial and self.mesh.shape["model"] > 1)
             sp_n = self.mesh.shape["model"]
 
-            def put(v):  # noqa: F811 — batch over 'data' (+rows over 'model')
-                if sp and v.ndim >= 3 and v.shape[1] % sp_n == 0:
+            # spatial (row) sharding applies only to image-shaped tensors —
+            # img_*/lab_*/plabel_* batch keys. A generic ndim>=3 rule would
+            # also capture e.g. AdaptEvery point-cloud verts (B, 300, 3),
+            # forcing a resharding before the PointNet branches.
+            def _is_spatial(k):
+                return k.split("_")[0] in ("img", "lab", "plabel")
+
+            def put(v, k=""):  # noqa: F811 — batch over 'data' (+rows over 'model')
+                if sp and _is_spatial(k) and v.ndim >= 3 \
+                        and v.shape[1] % sp_n == 0:
                     spec = P("data", "model", *([None] * (v.ndim - 2)))
                 else:
                     spec = P("data", *([None] * (v.ndim - 1)))
                 return jax.device_put(v, NamedSharding(self.mesh, spec))
 
-            def put_stacked(v):  # (K, B, ...) — batch dim is axis 1
-                if sp and v.ndim >= 4 and v.shape[2] % sp_n == 0:
+            def put_stacked(v, k=""):  # (K, B, ...) — batch dim is axis 1
+                if sp and _is_spatial(k) and v.ndim >= 4 \
+                        and v.shape[2] % sp_n == 0:
                     spec = P(None, "data", "model",
                              *([None] * (v.ndim - 3)))
                 else:
@@ -635,6 +659,25 @@ class Trainer:
                 params=_jax.tree.map(jnp.asarray, sub["params"]),
                 batch_stats=_jax.tree.map(jnp.asarray,
                                           sub.get("batch_stats", {})))
+        # 'extra' nets (ddfseg d_seg, adaptevery d_ent/d_point, mccl rain)
+        # so eval/predict of those checkpoints restores every network it
+        # evaluates; non-NetState leaves (raw rain params) load verbatim
+        raw_extra = raw.get("extra") if isinstance(raw, dict) else None
+        if self.state.extra and raw_extra:
+            extra = dict(self.state.extra)
+            for name, net in extra.items():
+                sub = raw_extra.get(name)
+                if sub is None:
+                    continue
+                if hasattr(net, "replace") and isinstance(sub, dict) \
+                        and "params" in sub:
+                    extra[name] = net.replace(
+                        params=_jax.tree.map(jnp.asarray, sub["params"]),
+                        batch_stats=_jax.tree.map(
+                            jnp.asarray, sub.get("batch_stats", {})))
+                else:
+                    extra[name] = _jax.tree.map(jnp.asarray, sub)
+            nets["extra"] = extra
         if not nets:
             raise ValueError(f"no network subtrees found in checkpoint {path}")
         self.state = self.state.replace(**nets)
@@ -663,6 +706,14 @@ class Trainer:
             save_every_epochs=cfg.run.save_every_epochs,
             n_epochs=cfg.optim.epochs, apdx=self.apdx[:60])
         early = EarlyStopCallback(cfg.run.early_stop_patience, mode="max")
+        if cfg.run.init_from:
+            # warm start (params only, cross-method): the reference SLCL
+            # protocol's pretrained-segmentor init (Trainer_MPSCL.py:306-331
+            # pairs it with the class-center file). Raises on failure — a
+            # silent fall-through to random weights invalidates the recipe
+            # (same hazard class as the missing-RAIN-ckpt bug, README).
+            self.restore_checkpoint(cfg.run.init_from, params_only=True)
+            print(f"warm-started networks from '{cfg.run.init_from}'")
         if cfg.run.restore_from:
             # resume: '-restore_from' parity (Trainer_baseline.py:144-162)
             try:
