@@ -120,9 +120,38 @@ def upsample_nearest(x, factor: int = 2):
     return jax.image.resize(x, (n, h * factor, w * factor, c), method="nearest")
 
 
-def upsample_bilinear(x, size):
-    n, _, _, c = x.shape
-    return jax.image.resize(x, (n, size[0], size[1], c), method="bilinear")
+def upsample_bilinear(x, size, align_corners: bool = False):
+    """Bilinear resize to ``size``.
+
+    ``align_corners=False`` (half-pixel centers) matches torch
+    ``F.interpolate(..., align_corners=False)`` and is jax.image.resize's
+    native convention. ``align_corners=True`` reproduces the reference
+    models' ``nn.Upsample(mode='bilinear', align_corners=True)`` exactly
+    (deeplabv2.py:96, DRUNet.py:156, BCL_DeeplabV2.py:171) — implemented as
+    two small interpolation-matrix matmuls (one-hot-weighted gathers as
+    (H_out, H_in) operands), which XLA maps onto the MXU instead of the
+    gather units; numerics are f32-accumulated."""
+    n, h, w, c = x.shape
+    H, W = size
+    if not align_corners:
+        return jax.image.resize(x, (n, H, W, c), method="bilinear")
+
+    def interp_matrix(out_n: int, in_n: int):
+        if out_n == 1 or in_n == 1:
+            pos = jnp.zeros((out_n,), jnp.float32)
+        else:
+            pos = jnp.arange(out_n, dtype=jnp.float32) * ((in_n - 1) / (out_n - 1))
+        lo = jnp.clip(jnp.floor(pos).astype(jnp.int32), 0, in_n - 1)
+        hi = jnp.clip(lo + 1, 0, in_n - 1)
+        frac = pos - lo.astype(jnp.float32)
+        eye = jnp.eye(in_n, dtype=jnp.float32)
+        return eye[lo] * (1.0 - frac)[:, None] + eye[hi] * frac[:, None]
+
+    ay = interp_matrix(H, h)
+    ax = interp_matrix(W, w)
+    y = jnp.einsum("Oh,nhwc->nOwc", ay, x.astype(jnp.float32))
+    y = jnp.einsum("Ow,nhwc->nhOc", ax, y)
+    return y.astype(x.dtype)
 
 
 def build_segmentor(cfg) -> nn.Module:

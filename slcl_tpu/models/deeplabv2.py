@@ -144,7 +144,7 @@ class BCLDeepLab(nn.Module):
         x = stage(x, 512, self.layers[3], 1, 4, "layer4")
         pred, feature = _ASPPWithFeature(self.num_classes, dtype=self.dtype,
                                          name="layer5")(x)
-        pred = upsample_bilinear(pred, in_size)
+        pred = upsample_bilinear(pred, in_size, align_corners=True)
         return pred, feature
 
 
@@ -185,7 +185,7 @@ class DeepLabV2(nn.Module):
         aux: Optional[jnp.ndarray] = None
         if self.multi_level:
             aux = _ASPP(self.num_classes, dtype=self.dtype, name="layer5")(x3)
-            aux = upsample_bilinear(aux, in_size)
+            aux = upsample_bilinear(aux, in_size, align_corners=True)
         pred = _ASPP(self.num_classes, dtype=self.dtype, name="layer6")(x4)
-        pred = upsample_bilinear(pred, in_size)
+        pred = upsample_bilinear(pred, in_size, align_corners=True)
         return SegOutput(pred=pred, aux=aux, dcdr_ft=x4, bottleneck=x4)

@@ -138,6 +138,10 @@ class PatchGAN(nn.Module):
         out = nn.Conv(1, (kw, kw), strides=(1, 1),
                       padding=[(pad, pad), (pad, pad)], dtype=self.dtype,
                       kernel_init=conv_init(0.02), name="head")(x)
+        # inputs below ~32 px shrink the patch map to 0x0 and every
+        # downstream mean becomes NaN — fail at trace time instead
+        assert out.shape[1] > 0 and out.shape[2] > 0, (
+            f"PatchGAN input too small: head produced {out.shape}")
         if self.aux:
             out_aux = nn.Conv(1, (kw, kw), strides=(1, 1),
                               padding=[(pad, pad), (pad, pad)], dtype=self.dtype,

@@ -125,7 +125,8 @@ class DRUNet(nn.Module):
 
         aux: Optional[jnp.ndarray] = None
         if self.multilvl:
-            aux_up = upsample_bilinear(aux_feat, in_size)
+            # reference F.interpolate(..., align_corners=True) (DRUNet.py:156)
+            aux_up = upsample_bilinear(aux_feat, in_size, align_corners=True)
             aux = nn.Conv(self.n_class, (1, 1), kernel_init=torch_conv_init,
                           dtype=self.dtype, name="classifier1")(aux_up)
 
