@@ -99,16 +99,20 @@ def device_prefetch(batch_iter, size: int = 2, put=None):
     (the reference's pinned-memory + non_blocking copies, TPU-style).
 
     ``put`` overrides the per-array transfer (e.g. a NamedSharding
-    device_put for data-parallel meshes)."""
+    device_put for data-parallel meshes); it is called as ``put(array,
+    key)`` so key-dependent shardings (spatial rows for image tensors
+    only) are possible."""
     import collections
 
     import jax
 
     queue = collections.deque()
-    put_one = put or jax.device_put
 
     def _put(batch):
-        return {k: (put_one(v) if isinstance(v, np.ndarray) else v)
+        if put is None:
+            return {k: (jax.device_put(v) if isinstance(v, np.ndarray) else v)
+                    for k, v in batch.items()}
+        return {k: (put(v, k) if isinstance(v, np.ndarray) else v)
                 for k, v in batch.items()}
 
     for batch in batch_iter:

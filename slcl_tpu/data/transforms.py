@@ -207,7 +207,15 @@ def superpixels(image: np.ndarray, rng: np.random.Generator,
     (y, x, intensity) k-means, then each segment is replaced by its mean
     intensity with prob ``p_replace``. The assignment runs on the native C++
     tier when available (proper SLIC with 2S-local search,
-    slcl_tpu/native/slic.cpp — ~300x the numpy fallback, PERF.md)."""
+    slcl_tpu/native/slic.cpp — ~300x the numpy fallback, PERF.md).
+
+    NOTE cross-host determinism: the native path (local-search SLIC) and the
+    numpy fallback (global k-means) produce different segmentations, so
+    heavy_aug2 runs are reproducible only among hosts with the same tier
+    active. Which tier ran is logged once per process (below) so divergent
+    results between machines are attributable; pin ``SLCL_NATIVE=0`` to
+    force the numpy path everywhere when exact cross-host reproducibility
+    matters more than speed."""
     from .. import native
 
     img = image.astype(np.float32)
@@ -216,8 +224,15 @@ def superpixels(image: np.ndarray, rng: np.random.Generator,
     replace = rng.random(g * g) < p_replace
     try:
         assign = native.slic_assign(gray, g, iters + 1)
+        if not getattr(superpixels, "_logged", False):
+            superpixels._logged = True
+            print("[superpixels] native C++ SLIC tier active")
         return native.segment_replace(img, assign, replace)
     except RuntimeError:
+        if not getattr(superpixels, "_logged", False):
+            superpixels._logged = True
+            print("[superpixels] numpy fallback active (no native tier) — "
+                  "segmentations differ from native-tier hosts")
         assign = _slic_assign_numpy(gray, g, iters)
     # vectorized segment-mean replacement
     flat = assign.ravel()

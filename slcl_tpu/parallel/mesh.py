@@ -111,6 +111,7 @@ def spatial_shard_batch(batch: Dict[str, Any], mesh: Mesh,
         elif hasattr(v, "shape"):
             spec = P("data", *([None] * (np.ndim(v) - 1)))
         else:
+            out[k] = v  # non-array metadata (e.g. name lists) pass through
             continue
         out[k] = jax.device_put(v, NamedSharding(mesh, spec))
     return out

@@ -372,9 +372,16 @@ def make_mpscl_step(cfg, model, disc, disc_aux, txs,
         ent_t = L.prob_2_entropy(jax.nn.softmax(out_t.pred.astype(jnp.float32), -1))
         loss_adv = L.bce_with_logits(_d_apply(disc, state.d_main.params, ent_t), 1.0)
         metrics["loss_adv"] = loss_adv
+        # contrastive terms gated by the warmup scalar, same mechanism as
+        # MCCL's clda gate (Trainer_MCCL.py:340-347). The reference MPSCL has
+        # no warmup because its executed protocol always starts from a
+        # pretrained segmentor + matching center file (Trainer_MPSCL.py:
+        # 306-331); warm==1.0 from epoch 0 when contrastive.warmup_epochs=0
+        # (the default) reproduces that.
+        warm = sched["warm"]
         total = (loss_seg + cfg.adv.w_dis * loss_adv
-                 + c.w_mpcl_s * mpcl_src + c.w_mpcl_t * mpcl_trg
-                 + c.CNR_w * loss_cnr)
+                 + warm * (c.w_mpcl_s * mpcl_src + c.w_mpcl_t * mpcl_trg
+                           + c.CNR_w * loss_cnr))
         if cfg.model.multilvl and out_t.aux is not None:
             ent_ta = L.prob_2_entropy(jax.nn.softmax(out_t.aux.astype(jnp.float32), -1))
             loss_adv_aux = L.bce_with_logits(
