@@ -41,6 +41,8 @@ P100_FP32_FLOPS = 9.3e12  # Kaggle P100 peak fp32 (reference trains fp32)
 
 def main():
     import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -18,6 +18,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
 
+# honor JAX_PLATFORMS before backend init: with the axon TPU plugin on
+# PYTHONPATH the env var alone is NOT enough — a JAX_PLATFORMS=cpu run
+# would still attach to the (possibly busy) tunneled TPU and hang
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # persistent compilation cache: first compile of each recipe is slow (remote
 # XLA compile); subsequent runs are instant
 jax.config.update("jax_compilation_cache_dir",

@@ -1,0 +1,82 @@
+"""Real-data dress rehearsal: the actual CLI entry points run end-to-end
+against the committed miniature on-disk dataset trees (tests/fixtures/
+mini_mmwhs + mini_mscmrseg, real formats — per-slice raw NIfTI with
+minmax-CSV normalization, MS-CMRSeg PNGs), exercising patient-fold
+resolution, NIfTI decode/crop/remap, CSV windows, augmentation, training,
+checkpointing, and the final test eval — the paths only unit-level golden
+tests touched before (reference data_generator_mmwhs_raw.py:64-141,
+data_generator_mscmrseg.py:343-381).
+"""
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+ROOT = Path(__file__).resolve().parent.parent
+FIX = Path(__file__).resolve().parent / "fixtures"
+
+
+def _run_cli(script, args, tmp_path, timeout=560):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)          # single CPU device is enough here
+    env["JAX_CACHE_DIR"] = "/tmp/jax_cache"
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "scripts" / script)] + args,
+        env=env, capture_output=True, text=True, timeout=timeout, cwd=ROOT)
+    assert out.returncode == 0, (out.stdout[-3000:], out.stderr[-3000:])
+    return out.stdout
+
+
+TINY = ["model.filters=8", "model.n_block=2", "model.bottleneck_depth=2",
+        "data.crop=64", "data.bs=2", "data.eval_bs=4", "data.num_workers=2",
+        "optim.epochs=2", "run.eval_frequency=1", "run.seed=0"]
+
+
+@pytest.mark.slow
+def test_train_slcl_cli_on_mini_mmwhs_raw(tmp_path):
+    """scripts/train_SLCL.py on the raw NIfTI MMWHS tree (CT->MR, fold 0):
+    woGT/withGT patient resolution incl. the CT +32 id offset, minmax-CSV
+    windows, nii decode, MPSCL training, final test eval on both domains."""
+    out_dir = tmp_path / "runs"
+    _run_cli("train_SLCL.py",
+             [f"data.data_dir={FIX / 'mini_mmwhs'}", "data.dataset=mmwhs",
+              "data.raw=true", f"run.out_dir={out_dir}"] + TINY, tmp_path)
+    summaries = list(out_dir.glob("*/summary.json"))
+    assert len(summaries) == 1
+    s = json.loads(summaries[0].read_text())
+    assert len(s["history"]) == 2
+    assert np.isfinite(s["best_val_dice"])
+    # final test ran on target AND source with surface metrics
+    for split in ("test", "test_s"):
+        assert s[split] is not None
+        assert all(np.isfinite(v) for v in s[split]["dc"])
+        assert all(np.isfinite(v) for v in s[split]["hd"])
+    # checkpoints written and restorable artifacts exist
+    run_dir = summaries[0].parent
+    assert (run_dir / "ckpt_best").is_dir() and (run_dir / "ckpt_last").is_dir()
+
+
+@pytest.mark.slow
+def test_train_mccl_cli_on_mini_mscmrseg_png(tmp_path):
+    """scripts/train_MCCL.py on the MS-CMRSeg PNG tree (bSSFP->LGE): fold
+    filtering by patient id, mask remap {85,212,255}, aug_counter target
+    pairs, soft-centroid rMC training."""
+    out_dir = tmp_path / "runs"
+    _run_cli("train_MCCL.py",
+             [f"data.data_dir={FIX / 'mini_mscmrseg'}", "data.dataset=mscmrseg",
+              "contrastive.warmup_epochs=1", f"run.out_dir={out_dir}"] + TINY,
+             tmp_path)
+    summaries = list(out_dir.glob("*/summary.json"))
+    assert len(summaries) == 1
+    s = json.loads(summaries[0].read_text())
+    assert len(s["history"]) == 2
+    # the contrastive diagnostics must be present and finite after warmup
+    last = s["history"][-1]
+    for k in ("seg_s", "conf_t", "inter_c_loss"):
+        assert k in last and np.isfinite(last[k]), k
+    assert s["test"] is not None
