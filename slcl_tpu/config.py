@@ -238,6 +238,11 @@ class RAINConfig:
     enabled: bool = False
     update_eps: bool = False
     eps_iters: int = 5
+    # cap on the per-iteration epsilon-ascent step L2 norm; the reference's
+    # (lr_eps / samp_loss) scale is unbounded and blows up once the stylized
+    # seg loss gets small (Trainer_RAIN.py:133-147) — 0 keeps that exact
+    # behavior, >0 clamps (see examples/README.md, RAIN+eps diagnosis)
+    eps_clip: float = 0.0
     consist_w: float = 2e-3
     mulstyle: bool = False
     mulstyle2: bool = False

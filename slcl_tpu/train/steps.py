@@ -588,10 +588,23 @@ def make_mccl_step(cfg, model, txs, rain_model=None,
             zero = jnp.zeros_like(seg_val)
             grads, _ = vjp_fn((one, zero))
             _, g_samp = vjp_fn((zero, jnp.ones_like(seg_val)))
-            new_sampling = jnp.where(
-                sched["eps_on"] > 0,
-                sampling0 + (cfg.optim.lr_eps / seg_val) * g_samp,
-                sampling0)
+            # ascent step (lr_eps / samp_loss) * grad (Trainer_RAIN.py:
+            # 133-147). The 1/loss scale EXPLODES once the stylized seg loss
+            # gets small (late epochs), throwing the sampling far outside the
+            # VAE prior — the diagnosed cause of the per-seed RAIN+eps
+            # regressions (examples/README.md). rain.eps_clip caps the step
+            # L2 norm per iteration (0 = reference-exact unbounded).
+            step_vec = (cfg.optim.lr_eps / seg_val) * g_samp
+            if cfg.rain.eps_clip > 0:
+                sn = jnp.linalg.norm(step_vec)
+                step_vec = step_vec * jnp.minimum(
+                    1.0, cfg.rain.eps_clip / (sn + 1e-12))
+            new_sampling = jnp.where(sched["eps_on"] > 0,
+                                     sampling0 + step_vec, sampling0)
+            metrics["eps_step_norm"] = (sched["eps_on"]
+                                        * jnp.linalg.norm(step_vec))
+            metrics["sampling_norm"] = jnp.linalg.norm(new_sampling)
+            metrics["seg_style_val"] = seg_val
         else:
             grads, (new_bs, centroid_s, metrics, _) = jax.grad(
                 loss_fn, has_aux=True)(state.seg.params, sampling0)

@@ -103,3 +103,30 @@ def test_soft_centroids_fused(data, rng, weighted, threshold):
         want[p] = (wp.T @ fnp) / (wp.sum(0)[:, None] + 1e-7)
     np.testing.assert_allclose(np.asarray(cents), want, rtol=1e-4, atol=1e-5)
     assert float(ratio) == pytest.approx(certain.mean(), rel=1e-5)
+
+
+def test_mpcl_pseudo_fused_forward_and_grad(data):
+    """v3 kernel: pseudo-labels + gap mask + target MPCL in one pass must
+    match the two-op jnp composition (generate_pseudo_label -> mpcl with
+    pixel_sel_loc weighting) in value and feature gradient."""
+    from slcl_tpu.ops.pallas import mpcl_pseudo_fused
+    feats, _labels, centers, _sel = data
+
+    def ref(f):
+        lab, sel = cen.generate_pseudo_label(
+            f.reshape(1, 50, 50, F), centers, pixel_sel_th=0.25)
+        return L.mpcl_loss_calc(
+            f.reshape(1, 50, 50, F), lab, centers, temperature=0.1,
+            base_temperature=1.0, margin=0.2, pixel_sel_loc=sel,
+            resize_labels=False)
+
+    feats_sq = feats[:2500]
+    with pltpu.force_tpu_interpret_mode():
+        got = mpcl_pseudo_fused(feats_sq, centers, 0.1, 1.0, 0.2, False, 0.25)
+        ggot = jax.grad(lambda f: mpcl_pseudo_fused(
+            f, centers, 0.1, 1.0, 0.2, False, 0.25))(feats_sq)
+    want = ref(feats_sq)
+    gwant = jax.grad(ref)(feats_sq)
+    assert float(got) == pytest.approx(float(want), rel=1e-4)
+    np.testing.assert_allclose(np.asarray(ggot), np.asarray(gwant),
+                               rtol=1e-3, atol=1e-6)
