@@ -1,0 +1,118 @@
+"""SLCL init protocol + RAIN eps-clamp (round-3 features).
+
+The reference's executed MPSCL recipe warm-starts the segmentor from a
+pretrained checkpoint and seeds the EMA class centers from a center file
+(Trainer_MPSCL.py:306-331). These tests cover the TPU build's equivalents:
+``run.init_from`` (cross-method params-only warm start),
+``contrastive.init_centers`` (center-file seeding, no first-step bootstrap
+overwrite), and ``rain.eps_clip`` (bounded epsilon-ascent step — the round-3
+repair for the per-seed RAIN+eps regressions, examples/README.md).
+"""
+import jax
+import numpy as np
+import pytest
+
+from tests.test_trainer import tiny_cfg
+
+
+def test_init_centers_missing_raises(tmp_path):
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, method="mpscl")
+    cfg.contrastive.init_centers = str(tmp_path / "nope.npy")
+    with pytest.raises(FileNotFoundError, match="init_centers"):
+        Trainer(cfg)
+
+
+def test_init_centers_seed_ema_without_bootstrap(tmp_path):
+    """Loaded centers enter the state verbatim and are EMA-updated, not
+    replaced by the step-0 batch-mean bootstrap (steps.py gates bootstrap
+    on centroids_loaded)."""
+    from slcl_tpu.train.trainer import Trainer
+    rng = np.random.default_rng(0)
+    c0 = rng.normal(size=(4, 8)).astype(np.float32)  # filters=8 tiny model
+    f = tmp_path / "centers.npy"
+    np.save(f, c0)
+
+    cfg = tiny_cfg(tmp_path / "a", method="mpscl", epochs=1)
+    cfg.contrastive.init_centers = str(f)
+    t = Trainer(cfg)
+    np.testing.assert_array_equal(np.asarray(t.state.centroids), c0)
+    t.train_epoch(0)
+    after_loaded = np.asarray(t.state.centroids)
+    assert not np.allclose(after_loaded, c0)  # EMA moved them
+
+    # same run without init: the step-0 bootstrap adopts batch means, so the
+    # trajectories must differ — proof the loaded centers were actually used
+    cfg2 = tiny_cfg(tmp_path / "b", method="mpscl", epochs=1)
+    t2 = Trainer(cfg2)
+    assert np.all(np.asarray(t2.state.centroids) == 0)  # zero placeholder
+    t2.train_epoch(0)
+    after_boot = np.asarray(t2.state.centroids)
+    assert not np.allclose(after_loaded, after_boot)
+    # the EMA memory of c0 after k steps is m^k; with m=0.9 and the 8-step
+    # tiny epoch the loaded run must still sit closer to c0 than the
+    # bootstrap run does
+    assert np.linalg.norm(after_loaded - c0) < np.linalg.norm(after_boot - c0)
+
+
+def test_init_from_missing_raises(tmp_path):
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, method="mpscl", epochs=1)
+    cfg.run.init_from = str(tmp_path / "no_such_ckpt")
+    t = Trainer(cfg)
+    with pytest.raises(Exception):
+        t.train()
+
+
+def test_init_from_cross_method_warm_start(tmp_path):
+    """A baseline checkpoint warm-starts an MPSCL trainer (params only):
+    the executed form of the reference's pretrained-segmentor init."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path / "base", method="baseline", epochs=1)
+    t = Trainer(cfg)
+    t.train()
+    ckpt = str(t.out_dir / "ckpt_last")
+
+    cfg2 = tiny_cfg(tmp_path / "mpscl", method="mpscl", epochs=1)
+    t2 = Trainer(cfg2)
+    before = [np.asarray(x) for x in jax.tree.leaves(t2.state.seg.params)]
+    t2.restore_checkpoint(ckpt, params_only=True)
+    got = jax.tree.leaves(t2.state.seg.params)
+    want = jax.tree.leaves(t.state.seg.params)
+    assert any(not np.allclose(b, np.asarray(g))
+               for b, g in zip(before, got))
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # discriminators stay fresh (baseline ckpt has none) and training runs
+    m = t2.train_epoch(0)
+    assert np.isfinite(m["seg_s"])
+
+
+def test_rain_eps_clip_bounds_step(tmp_path):
+    """rain.eps_clip caps the per-iteration epsilon-ascent L2 step; the
+    logged eps_step_norm (epoch mean of per-step norms) must respect it."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path / "pre", method="pretrain_rain", epochs=1)
+    t = Trainer(cfg)
+    ckpts = t.train()["component_ckpts"]
+
+    def rain_cfg(path, clip):
+        c = tiny_cfg(path, method="mccl", epochs=1)
+        c.rain.enabled = True
+        c.rain.update_eps = True
+        c.rain.eps_clip = clip
+        c.rain.vgg_ckpt = ckpts["encoder"]
+        c.rain.decoder_ckpt = ckpts["decoder"]
+        c.rain.fc_encoder_ckpt = ckpts["fc_encoder"]
+        c.rain.fc_decoder_ckpt = ckpts["fc_decoder"]
+        return c
+
+    clip = 0.05
+    t1 = Trainer(rain_cfg(tmp_path / "clip", clip))
+    m1 = t1.train_epoch(0)
+    assert 0.0 < float(m1["eps_step_norm"]) <= clip + 1e-5
+    # unclamped (reference-exact) control on the same pretrain: the raw
+    # (lr_eps/loss)*grad step is far larger than the clamp on tiny models
+    t0 = Trainer(rain_cfg(tmp_path / "noclip", 0.0))
+    m0 = t0.train_epoch(0)
+    assert float(m0["eps_step_norm"]) > float(m1["eps_step_norm"])
