@@ -158,6 +158,12 @@ class OptimConfig:
     power: float = POWER
     epochs: int = 200
     lr_eps: float = 1.0               # RAIN epsilon-ascent step scale
+    # linear LR warmup over the first N epochs (scale (e+1)/N, full LR from
+    # epoch N-1). No reference equivalent — added for run.init_from
+    # fine-tunes: a fresh Adam restart takes near-full-size first steps
+    # (zeroed second moments) and can kick a converged warm start out of
+    # its basin (measured: AdvEnt-init MPSCL seeds 13/99, examples/README.md)
+    lr_warmup_epochs: int = 0
 
 
 @dataclass

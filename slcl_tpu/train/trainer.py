@@ -474,6 +474,8 @@ class Trainer:
         lr = schedules.get_lr(cfg.optim.lr_decay_method, cfg.optim.lr, epoch,
                               cfg.optim.epochs, cfg.optim.power,
                               cfg.optim.lr_end, cfg.optim.lr_decay)
+        if 0 <= epoch < cfg.optim.lr_warmup_epochs:
+            lr = lr * (epoch + 1) / cfg.optim.lr_warmup_epochs
         # D LR decays only when adjust_lr_dis is set; the reference default
         # keeps it constant (Trainer_AdaptSeg.py:119-127)
         if cfg.optim.adjust_lr_dis:
@@ -714,6 +716,22 @@ class Trainer:
             # (same hazard class as the missing-RAIN-ckpt bug, README).
             self.restore_checkpoint(cfg.run.init_from, params_only=True)
             print(f"warm-started networks from '{cfg.run.init_from}'")
+            if cfg.method != "pretrain_rain":
+                # pre-training eval of the warm start ("epoch -1"): seeds
+                # the best-checkpoint selection so a fine-tune that never
+                # beats its init still ships the init, and gives the run
+                # log an explicit baseline for the continuation
+                results = self.eval("valid_t", ifhd=False, ifasd=False,
+                                    fast=cfg.run.fast_val)
+                dice = mean_fg_dice(results)
+                if mcp.step(dice, -1):
+                    self.best_score = dice
+                early.step(dice, -1)
+                rec = {"epoch": -1, "val_dice": dice}
+                self.history.append(rec)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                print(f"[{self.apdx}] init val_dice={dice:.4f}")
         if cfg.run.restore_from:
             # resume: '-restore_from' parity (Trainer_baseline.py:144-162)
             try:
@@ -788,7 +806,8 @@ class Trainer:
         # final test with the best checkpoint: target AND source domains
         # (reference Trainer_MPSCL.py:434-453, Trainer_baseline.py:308-339),
         # plus the other MMWHS fold for the baseline's cross-fold table
-        if self.best_epoch >= 0:
+        if self.best_epoch >= 0 or (self.out_dir / "ckpt_best").exists():
+            # the best ckpt may be the epoch -1 warm-start eval (init_from)
             self.restore_checkpoint("best")
         test_results = self.eval("test_t", toprint=True)
         test_s_results = None

@@ -54,8 +54,11 @@ class ModelCheckPointCallback:
         """Record the epoch+score fingerprint of the best checkpoint
         (reference callbacks.py:86-97 / Trainer_MPSCL.py:409-431 rename the
         dir; here the fingerprint goes to a marker file so the stable
-        ``ckpt_best`` path keeps working for restore/resume)."""
-        if self.epoch >= 0:
+        ``ckpt_best`` path keeps working for restore/resume). Epoch -1 is
+        the pre-training warm-start eval (run.init_from): its fingerprint
+        is ``e0`` — best model = the untrained init."""
+        if self.epoch >= -1 and self.best_result not in (float("inf"),
+                                                         -float("inf")):
             marker = self.out_dir / "best_fingerprint.txt"
             marker.write_text(
                 f"{self.apdx}.e{self.epoch + 1}.Scr{self.best_result:.4f}\n")

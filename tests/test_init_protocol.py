@@ -88,6 +88,41 @@ def test_init_from_cross_method_warm_start(tmp_path):
     assert np.isfinite(m["seg_s"])
 
 
+def test_init_eval_seeds_best_selection(tmp_path):
+    """With run.init_from, the warm start is evaluated BEFORE training
+    (epoch -1) and seeds the best-checkpoint selection: a fine-tune that
+    never beats its init ships the init instead of a degraded model."""
+    import json
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path / "base", method="baseline", epochs=1)
+    t = Trainer(cfg)
+    t.train()
+
+    cfg2 = tiny_cfg(tmp_path / "ft", method="mpscl", epochs=1)
+    cfg2.run.init_from = str(t.out_dir / "ckpt_last")
+    cfg2.optim.lr = 1e-12  # continuation cannot improve on the init
+    t2 = Trainer(cfg2)
+    summary = t2.train()
+    lines = [json.loads(l) for l in open(t2.out_dir / "log.jsonl")]
+    assert lines[0]["epoch"] == -1 and "val_dice" in lines[0]
+    assert (t2.out_dir / "ckpt_best").exists()
+    assert summary["best_val_dice"] >= lines[0]["val_dice"]
+
+
+def test_lr_warmup_scales_schedule(tmp_path):
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, method="baseline", epochs=8)
+    cfg.optim.lr_warmup_epochs = 4
+    t = Trainer(cfg)
+    cfg_ref = tiny_cfg(tmp_path / "ref", method="baseline", epochs=8)
+    t_ref = Trainer(cfg_ref)
+    for e in range(8):
+        lr = float(t._sched(e)["lr"])
+        base = float(t_ref._sched(e)["lr"])
+        want = base * min(1.0, (e + 1) / 4)
+        assert lr == pytest.approx(want, rel=1e-6), (e, lr, want)
+
+
 def test_rain_eps_clip_bounds_step(tmp_path):
     """rain.eps_clip caps the per-iteration epsilon-ascent L2 step; the
     logged eps_step_norm (epoch mean of per-step norms) must respect it."""
