@@ -651,16 +651,50 @@ class Trainer:
         # template-free restore returns the saved tree as nested dicts, so
         # the saved optimizer state never has to match this process's
         raw = ckptr.restore(path)
+
+        def merge(fresh, saved, kept, dropped, at):
+            """Overlay ``saved`` onto ``fresh`` (cross-method warm starts:
+            e.g. an AdvEnt checkpoint into an MCCL model keeps the fresh
+            phead the checkpoint cannot provide). Shape mismatches raise —
+            a silently misloaded backbone invalidates the recipe."""
+            if not isinstance(saved, dict) or not isinstance(fresh, dict):
+                s = jnp.asarray(saved)
+                if hasattr(fresh, "shape") and fresh.shape != s.shape:
+                    raise ValueError(
+                        f"checkpoint leaf {at} has shape {s.shape}, "
+                        f"model expects {fresh.shape}")
+                return s
+            out = {}
+            for k, v in fresh.items():
+                if k in saved:
+                    out[k] = merge(v, saved[k], kept, dropped, f"{at}/{k}")
+                else:
+                    out[k] = v
+                    kept.append(f"{at}/{k}")
+            dropped.extend(f"{at}/{k}" for k in saved if k not in fresh)
+            return out
+
+        kept, dropped = [], []
         nets = {}
         for name in ("seg", "d_main", "d_aux"):
             net = getattr(self.state, name)
             sub = raw.get(name) if isinstance(raw, dict) else None
             if net is None or sub is None:
                 continue
+            bs = sub.get("batch_stats")
             nets[name] = net.replace(
-                params=_jax.tree.map(jnp.asarray, sub["params"]),
-                batch_stats=_jax.tree.map(jnp.asarray,
-                                          sub.get("batch_stats", {})))
+                params=merge(net.params, sub["params"], kept, dropped, name),
+                batch_stats=(merge(net.batch_stats, bs, kept, dropped,
+                                   f"{name}.bs")
+                             if bs else net.batch_stats))
+        if kept:
+            print(f"warm start: kept fresh init for {len(kept)} subtree(s) "
+                  f"absent from the checkpoint: {', '.join(kept[:8])}"
+                  + (" ..." if len(kept) > 8 else ""))
+        if dropped:
+            print(f"warm start: checkpoint subtree(s) without a model "
+                  f"counterpart ignored: {', '.join(dropped[:8])}"
+                  + (" ..." if len(dropped) > 8 else ""))
         # 'extra' nets (ddfseg d_seg, adaptevery d_ent/d_point, mccl rain)
         # so eval/predict of those checkpoints restores every network it
         # evaluates; non-NetState leaves (raw rain params) load verbatim

@@ -88,6 +88,52 @@ def test_init_from_cross_method_warm_start(tmp_path):
     assert np.isfinite(m["seg_s"])
 
 
+def test_init_from_merges_missing_phead(tmp_path):
+    """Cross-method warm start into a model with extra heads: an AdvEnt/
+    baseline checkpoint has no phead — restore must overlay the shared
+    backbone and keep the fresh phead init (the MCCL preset's phead=True
+    crashed here before the structured merge)."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path / "base", method="baseline", epochs=1)
+    t = Trainer(cfg)
+    t.train()
+    ckpt = str(t.out_dir / "ckpt_last")
+
+    cfg2 = tiny_cfg(tmp_path / "mccl", method="mccl", epochs=1)
+    cfg2.model.phead = True
+    cfg2.data.aug_counter = True
+    cfg2.contrastive.wtd_ave = True
+    t2 = Trainer(cfg2)
+    fresh_phead = jax.tree.leaves(
+        {k: v for k, v in t2.state.seg.params.items() if "phead" in k})
+    t2.restore_checkpoint(ckpt, params_only=True)
+    # shared backbone leaf equals the checkpoint
+    a = np.asarray(jax.tree.leaves(t.state.seg.params)[0])
+    b = np.asarray(jax.tree.leaves(
+        {k: v for k, v in t2.state.seg.params.items() if "phead" not in k})[0])
+    np.testing.assert_array_equal(a, b)
+    # phead stayed at its fresh init
+    after = jax.tree.leaves(
+        {k: v for k, v in t2.state.seg.params.items() if "phead" in k})
+    assert len(after) == len(fresh_phead) > 0
+    for x, y in zip(fresh_phead, after):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    m = t2.train_epoch(0)
+    assert np.isfinite(m["seg_s"])
+
+
+def test_init_from_shape_mismatch_raises(tmp_path):
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path / "base", method="baseline", epochs=1)
+    t = Trainer(cfg)
+    t.train()
+    cfg2 = tiny_cfg(tmp_path / "wide", method="baseline", epochs=1)
+    cfg2.model.filters = 16  # different widths: must not silently misload
+    t2 = Trainer(cfg2)
+    with pytest.raises(ValueError, match="shape"):
+        t2.restore_checkpoint(str(t.out_dir / "ckpt_last"), params_only=True)
+
+
 def test_init_eval_seeds_best_selection(tmp_path):
     """With run.init_from, the warm start is evaluated BEFORE training
     (epoch -1) and seeds the best-checkpoint selection: a fine-tune that
