@@ -41,11 +41,9 @@ P100_FP32_FLOPS = 9.3e12  # Kaggle P100 peak fp32 (reference trains fp32)
 
 def main():
     import jax
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from slcl_tpu.utils.jaxenv import configure_jax
+    configure_jax()
     import jax.numpy as jnp
     import numpy as np
 
@@ -162,7 +160,11 @@ def _bench_mccl(iters: int = 25) -> float:
     cfg = apply_recipe(cfg)
     B, H = cfg.data.bs, cfg.data.crop
     model = build_segmentor(cfg.model)
-    state, txs = create_train_state(cfg, model, sample_shape=(1, H, H, 3))
+    # seed (C,F) centroids exactly as the trainer does — without them the
+    # step compiles a centroids=None graph that skips the EMA/bootstrap path
+    state, txs = create_train_state(
+        cfg, model, sample_shape=(1, H, H, 3),
+        centroids=jnp.zeros((4, cfg.model.filters), jnp.float32))
     step = build_step(cfg, model, txs, None, None)
 
     rng = np.random.default_rng(1)

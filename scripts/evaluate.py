@@ -13,14 +13,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax  # noqa: E402
-# honor JAX_PLATFORMS before backend init (the axon TPU plugin otherwise
-# wins even when the env asks for cpu)
-import os as _os
-if _os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
 
+from slcl_tpu.utils.jaxenv import configure_jax  # noqa: E402
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+configure_jax()
 
 from slcl_tpu.config import Config, apply_recipe  # noqa: E402
 

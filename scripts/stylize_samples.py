@@ -19,7 +19,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
-    import jax
+    import jax  # noqa: F401
+
+    from slcl_tpu.utils.jaxenv import configure_jax
+    configure_jax()
     import jax.numpy as jnp
     import numpy as np
 

@@ -10,25 +10,14 @@ Recipe presets (reference entry-script hardcodes):
   method=mccl      -> train_MCCL.py:35-48  (soft labels + rMC + CNR)
   method=baseline  -> train_baseline.py:27-42
 """
-import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import jax  # noqa: E402
+from slcl_tpu.utils.jaxenv import configure_jax  # noqa: E402
 
-# honor JAX_PLATFORMS before backend init: with the axon TPU plugin on
-# PYTHONPATH the env var alone is NOT enough — a JAX_PLATFORMS=cpu run
-# would still attach to the (possibly busy) tunneled TPU and hang
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-
-# persistent compilation cache: first compile of each recipe is slow (remote
-# XLA compile); subsequent runs are instant
-jax.config.update("jax_compilation_cache_dir",
-                  os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+configure_jax()
 
 from slcl_tpu.config import Config, apply_recipe  # noqa: E402
 

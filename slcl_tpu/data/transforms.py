@@ -223,11 +223,15 @@ def superpixels(image: np.ndarray, rng: np.random.Generator,
     g = max(int(np.sqrt(n_segments)), 2)
     replace = rng.random(g * g) < p_replace
     try:
+        # log only after BOTH native calls succeed — a segment_replace
+        # failure falls back to numpy, and attributing that process to the
+        # native tier would misdiagnose cross-host divergence
         assign = native.slic_assign(gray, g, iters + 1)
+        out = native.segment_replace(img, assign, replace)
         if not getattr(superpixels, "_logged", False):
             superpixels._logged = True
             print("[superpixels] native C++ SLIC tier active")
-        return native.segment_replace(img, assign, replace)
+        return out
     except RuntimeError:
         if not getattr(superpixels, "_logged", False):
             superpixels._logged = True

@@ -36,6 +36,17 @@ from .state import NetState, TrainState
 Array = jax.Array
 
 
+def clip_step_norm(step_vec, clip):
+    """Cap ``step_vec`` to L2 norm ``clip``, robust to non-finite input:
+    if the unbounded RAIN ascent step overflowed (1/seg_loss -> inf), the
+    naive ``v * min(1, clip/||v||)`` is ``inf * 0 = NaN`` — failing exactly
+    in the blow-up regime the clamp guards. Non-finite components are
+    zeroed before the norm."""
+    step_vec = jnp.where(jnp.isfinite(step_vec), step_vec, 0.0)
+    sn = jnp.linalg.norm(step_vec)
+    return step_vec * jnp.minimum(1.0, clip / (sn + 1e-12))
+
+
 def _remat_wrap(fwd, remat):
     """Optional rematerialization of a forward fn (cfg.model.remat).
 
@@ -596,9 +607,7 @@ def make_mccl_step(cfg, model, txs, rain_model=None,
             # L2 norm per iteration (0 = reference-exact unbounded).
             step_vec = (cfg.optim.lr_eps / seg_val) * g_samp
             if cfg.rain.eps_clip > 0:
-                sn = jnp.linalg.norm(step_vec)
-                step_vec = step_vec * jnp.minimum(
-                    1.0, cfg.rain.eps_clip / (sn + 1e-12))
+                step_vec = clip_step_norm(step_vec, cfg.rain.eps_clip)
             new_sampling = jnp.where(sched["eps_on"] > 0,
                                      sampling0 + step_vec, sampling0)
             metrics["eps_step_norm"] = (sched["eps_on"]

@@ -26,7 +26,7 @@ import optax
 
 from ..ops import losses as L
 from .state import NetState, TrainState
-from .steps import _apply_seg
+from .steps import _apply_seg, clip_step_norm
 
 Array = jax.Array
 
@@ -138,10 +138,13 @@ def make_rain_seg_step(cfg, seg_model, rain_model, txs) -> Callable:
         updates, new_opt = txs["seg"].update(grads, opt_state, state.seg.params)
         params = optax.apply_updates(state.seg.params, updates)
 
+        step_vec = (lr_eps / jax.lax.stop_gradient(loss_seg)) * g_samp_seg
+        if cfg.rain.eps_clip > 0:
+            # same bounded-ascent repair as the MCCL rain branch
+            # (steps.clip_step_norm; 0 = reference-exact unbounded)
+            step_vec = clip_step_norm(step_vec, cfg.rain.eps_clip)
         new_sampling = jnp.where(
-            sched["eps_on"] > 0,
-            sampling + (lr_eps / jax.lax.stop_gradient(loss_seg)) * g_samp_seg,
-            sampling)
+            sched["eps_on"] > 0, sampling + step_vec, sampling)
 
         metrics = {"seg": loss_seg, "loss_consist": loss_consist}
         new_state = state.replace(

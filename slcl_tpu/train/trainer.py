@@ -840,9 +840,16 @@ class Trainer:
         # final test with the best checkpoint: target AND source domains
         # (reference Trainer_MPSCL.py:434-453, Trainer_baseline.py:308-339),
         # plus the other MMWHS fold for the baseline's cross-fold table
-        if self.best_epoch >= 0 or (self.out_dir / "ckpt_best").exists():
+        if mcp.wrote_best:
             # the best ckpt may be the epoch -1 warm-start eval (init_from)
             self.restore_checkpoint("best")
+        elif (self.out_dir / "ckpt_best").exists():
+            # ckpt_best on disk but THIS run never wrote one: stale leftover
+            # from a previous run in the same deterministic out_dir —
+            # restoring it would attribute old weights' test results to
+            # this run. Test the last state instead.
+            print("warning: ignoring stale ckpt_best not written by this "
+                  "run; final test uses the last-state weights")
         test_results = self.eval("test_t", toprint=True)
         test_s_results = None
         if "test_s" in self.datasets:

@@ -32,6 +32,12 @@ class ModelCheckPointCallback:
         self.best_result = -float("inf") if mode == "max" else float("inf")
         self.epoch = -1
 
+    @property
+    def wrote_best(self) -> bool:
+        """True once THIS run has written ckpt_best (distinguishes it from
+        a stale ckpt_best left in a reused out_dir by a previous run)."""
+        return self.best_result not in (float("inf"), -float("inf"))
+
     def _improved(self, monitor: float) -> bool:
         return (monitor > self.best_result if self.mode == "max"
                 else monitor < self.best_result)
@@ -44,7 +50,10 @@ class ModelCheckPointCallback:
             self.epoch = epoch
             self.save_fn("best")
         self.save_fn("last")
-        if self.save_every_epochs and (epoch + 1) % self.save_every_epochs == 0:
+        # epoch -1 is the pre-training warm-start eval: best/last above are
+        # wanted, a periodic "e0" of the untrained init is not
+        if (self.save_every_epochs and epoch >= 0
+                and (epoch + 1) % self.save_every_epochs == 0):
             self.save_fn(f"e{epoch + 1}")
         if tobreak or (self.n_epochs and epoch + 1 >= self.n_epochs):
             self.finalize()

@@ -197,3 +197,63 @@ def test_rain_eps_clip_bounds_step(tmp_path):
     t0 = Trainer(rain_cfg(tmp_path / "noclip", 0.0))
     m0 = t0.train_epoch(0)
     assert float(m0["eps_step_norm"]) > float(m1["eps_step_norm"])
+
+
+def test_clip_step_norm_sanitizes_nonfinite():
+    """The clamp must stay finite when the unbounded ascent step overflows:
+    naive v*min(1, clip/||v||) gives inf*0=NaN exactly in the blow-up
+    regime the clamp exists for."""
+    import jax.numpy as jnp
+
+    from slcl_tpu.train.steps import clip_step_norm
+
+    v = jnp.array([jnp.inf, 1.0, -jnp.nan, 2.0])
+    out = np.asarray(clip_step_norm(v, 3.0))
+    assert np.all(np.isfinite(out))
+    assert np.linalg.norm(out) <= 3.0 + 1e-5
+    # finite input at norm<=clip passes through unchanged
+    w = jnp.array([0.3, -0.4])
+    np.testing.assert_allclose(np.asarray(clip_step_norm(w, 3.0)),
+                               np.asarray(w), rtol=1e-6)
+    # finite input above the clip is scaled onto the ball
+    big = jnp.array([30.0, 40.0])
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(clip_step_norm(big, 3.0))), 3.0, rtol=1e-5)
+
+
+def test_no_periodic_ckpt_for_init_eval(tmp_path):
+    """mcp.step(dice, -1) (the pre-training warm-start eval) must not
+    trigger the periodic e{N} save: (−1+1) % N == 0 for every N."""
+    from slcl_tpu.utils.callbacks import ModelCheckPointCallback
+
+    saved = []
+    mcp = ModelCheckPointCallback(str(tmp_path), saved.append,
+                                  save_every_epochs=5, n_epochs=10)
+    assert not mcp.wrote_best
+    mcp.step(0.5, -1)
+    assert saved == ["best", "last"]  # no spurious "e0"
+    assert mcp.wrote_best
+    mcp.step(0.6, 4)
+    assert saved[-3:] == ["best", "last", "e5"]
+
+
+def test_final_test_ignores_stale_best(tmp_path, capsys):
+    """A ckpt_best left in a reused out_dir by a PREVIOUS run must not be
+    restored for the final test when THIS run never wrote a best."""
+    from slcl_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(tmp_path, method="baseline", epochs=1)
+    t = Trainer(cfg)
+    t.train()
+    first = np.asarray(jax.tree.leaves(t.state.seg.params)[0]).copy()
+
+    # second run in the SAME out_dir that never evals (epochs=0; the same
+    # state arises from all-NaN val dice) -> never writes a best
+    cfg2 = tiny_cfg(tmp_path, method="baseline", epochs=0)
+    t2 = Trainer(cfg2)
+    t2.train()
+    out = capsys.readouterr().out
+    assert "stale ckpt_best" in out
+    # final state is this run's own weights, not the previous run's best
+    second = np.asarray(jax.tree.leaves(t2.state.seg.params)[0])
+    assert not np.array_equal(first, second)

@@ -25,11 +25,9 @@ P100_FP32_FLOPS = 9.3e12
 
 def main():
     import jax
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from slcl_tpu.utils.jaxenv import configure_jax
+    configure_jax()
     import jax.numpy as jnp
     import numpy as np
 
