@@ -128,6 +128,8 @@ class ModelConfig:
     num_classes: int = NUM_CLASSES
     multilvl: bool = False            # auxiliary classifier head
     layers: Tuple[int, ...] = ()      # ResNet stage depths override (tests)
+    base: int = 64                    # ResNet/discriminator/PointNet width
+    #                                   knob; 64 = reference-exact (CI/dryrun)
     phead: bool = False               # projection head on decoder features
     pretrained: bool = False          # load ImageNet encoder weights
     # torch .pth (torchvision ResNet naming) or converted .npz produced by

@@ -173,6 +173,12 @@ def build_segmentor(cfg) -> nn.Module:
         return DeepLabV2(num_classes=cfg.num_classes, multi_level=cfg.multilvl,
                          dtype=dtype)
     if name in ("resnet50", "resnet50_unet"):
+        kw = {}
+        if getattr(cfg, "layers", ()):
+            kw["layers"] = tuple(cfg.layers)
+        if getattr(cfg, "base", 64) != 64:
+            kw["base"] = cfg.base
         return ResNetUNet(num_classes=cfg.num_classes, multilvl=cfg.multilvl,
-                          phead=cfg.phead, feat_dim=cfg.filters, dtype=dtype)
+                          phead=cfg.phead, feat_dim=cfg.filters, dtype=dtype,
+                          **kw)
     raise ValueError(f"unknown backbone {cfg.backbone!r}")

@@ -36,12 +36,14 @@ class UncertaintyDiscriminator(nn.Module):
     (reference GAN.py:90-145): 5x [4x4 s2 p2 conv, no bias] with
     LeakyReLU(0.2), N(0, 0.02) init, logits out."""
     ext: bool = False
+    base: int = 64  # width knob; 64 is reference-exact (stages double)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        for i, f in enumerate((64, 128, 256, 512)):
+        for i, f in enumerate((self.base, self.base * 2,
+                               self.base * 4, self.base * 8)):
             x = nn.Conv(f, (4, 4), strides=(2, 2), padding=[(2, 2), (2, 2)],
                         use_bias=False, kernel_init=conv_init(0.02),
                         dtype=self.dtype, name=f"conv{i + 1}")(x)

@@ -34,17 +34,19 @@ class _MLP1d(nn.Module):
 class STN(nn.Module):
     """Spatial/feature transform net -> (N, k, k) matrix (PointNetCls:11-106)."""
     k: int = 3
+    base: int = 64  # width knob; 64 is reference-exact
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         # x: (N, P, k)
-        y = _MLP1d(64, dtype=self.dtype)(x, train)
-        y = _MLP1d(128, dtype=self.dtype)(y, train)
-        y = _MLP1d(1024, dtype=self.dtype)(y, train)
-        y = jnp.max(y, axis=1)                        # (N, 1024)
-        y = _MLP1d(512, dtype=self.dtype)(y, train)
-        y = _MLP1d(256, dtype=self.dtype)(y, train)
+        b = self.base
+        y = _MLP1d(b, dtype=self.dtype)(x, train)
+        y = _MLP1d(b * 2, dtype=self.dtype)(y, train)
+        y = _MLP1d(b * 16, dtype=self.dtype)(y, train)
+        y = jnp.max(y, axis=1)                        # (N, 16b)
+        y = _MLP1d(b * 8, dtype=self.dtype)(y, train)
+        y = _MLP1d(b * 4, dtype=self.dtype)(y, train)
         y = nn.Dense(self.k * self.k, kernel_init=nn.initializers.zeros,
                      dtype=self.dtype)(y)
         iden = jnp.eye(self.k, dtype=y.dtype).reshape(1, -1)
@@ -54,41 +56,46 @@ class STN(nn.Module):
 class PointNetFeat(nn.Module):
     global_feat: bool = True
     feature_transform: bool = False
+    base: int = 64  # width knob; 64 is reference-exact
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        trans = STN(k=x.shape[-1], dtype=self.dtype, name="stn")(x, train)
+        b = self.base
+        trans = STN(k=x.shape[-1], base=b, dtype=self.dtype,
+                    name="stn")(x, train)
         x = jnp.einsum("npd,nde->npe", x, trans)
-        x = _MLP1d(64, dtype=self.dtype)(x, train)
+        x = _MLP1d(b, dtype=self.dtype)(x, train)
         trans_feat = None
         if self.feature_transform:
-            trans_feat = STN(k=64, dtype=self.dtype, name="fstn")(x, train)
+            trans_feat = STN(k=b, base=b, dtype=self.dtype,
+                             name="fstn")(x, train)
             x = jnp.einsum("npd,nde->npe", x, trans_feat)
         point_feat = x
-        x = _MLP1d(128, dtype=self.dtype)(x, train)
-        x = _MLP1d(1024, relu=False, dtype=self.dtype)(x, train)
-        x = jnp.max(x, axis=1)                         # (N, 1024)
+        x = _MLP1d(b * 2, dtype=self.dtype)(x, train)
+        x = _MLP1d(b * 16, relu=False, dtype=self.dtype)(x, train)
+        x = jnp.max(x, axis=1)                         # (N, 16b)
         if self.global_feat:
             return x, trans, trans_feat
         rep = jnp.broadcast_to(x[:, None, :],
-                               (x.shape[0], point_feat.shape[1], 1024))
+                               (x.shape[0], point_feat.shape[1], b * 16))
         return jnp.concatenate([point_feat, rep], axis=-1), trans, trans_feat
 
 
 class PointNetCls(nn.Module):
     k: int = 2
     feature_transform: bool = False
+    base: int = 64  # width knob; 64 is reference-exact
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True) -> Tuple:
         feat, trans, trans_feat = PointNetFeat(
             global_feat=True, feature_transform=self.feature_transform,
-            dtype=self.dtype, name="feat")(x, train)
-        y = _MLP1d(512, dtype=self.dtype)(feat, train)
+            base=self.base, dtype=self.dtype, name="feat")(x, train)
+        y = _MLP1d(self.base * 8, dtype=self.dtype)(feat, train)
         y = nn.Dropout(0.3, deterministic=not train)(y)
-        y = _MLP1d(256, dtype=self.dtype)(y, train)
+        y = _MLP1d(self.base * 4, dtype=self.dtype)(y, train)
         y = nn.Dense(self.k, kernel_init=_init, dtype=self.dtype)(y)
         return y, trans, trans_feat
 

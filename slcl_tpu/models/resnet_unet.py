@@ -101,6 +101,8 @@ class ResNetUNet(nn.Module):
     multilvl: bool = False
     phead: bool = False
     feat_dim: int = 32
+    base: int = 64     # stem/stage-1 planes; stages double (CI/dryrun knob —
+    #                    64 is reference-exact, smaller values only shrink)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -108,7 +110,8 @@ class ResNetUNet(nn.Module):
         in_size = x.shape[1:3]
         x = x.astype(self.dtype)
         # stem
-        c1 = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+        c1 = nn.Conv(self.base, (7, 7), strides=(2, 2),
+                     padding=[(3, 3), (3, 3)],
                      use_bias=False, kernel_init=_INIT, dtype=self.dtype,
                      name="conv1")(x)
         c1 = nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -126,10 +129,11 @@ class ResNetUNet(nn.Module):
                                 name=f"{name}_{i}")(x, train)
             return x
 
-        l1 = stage(p, 64, self.layers[0], 1, "layer1")      # (H/4, 256)
-        l2 = stage(l1, 128, self.layers[1], 2, "layer2")    # (H/8, 512)
-        l3 = stage(l2, 256, self.layers[2], 2, "layer3")    # (H/16, 1024)
-        l4 = stage(l3, 512, self.layers[3], 2, "layer4")    # (H/32, 2048)
+        b = self.base
+        l1 = stage(p, b, self.layers[0], 1, "layer1")        # (H/4, 4b)
+        l2 = stage(l1, b * 2, self.layers[1], 2, "layer2")   # (H/8, 8b)
+        l3 = stage(l2, b * 4, self.layers[2], 2, "layer3")   # (H/16, 16b)
+        l4 = stage(l3, b * 8, self.layers[3], 2, "layer4")   # (H/32, 32b)
 
         skips = [l3, l2, l1, c1, None]
         y = l4
@@ -176,20 +180,24 @@ class ResNetUNetPoint(nn.Module):
     n_points: int = 300
     multilvl: bool = True
     layers: Sequence[int] = (3, 4, 6, 3)  # ResNet-50; override for CI/dryrun
+    base: int = 64                        # width knob (see ResNetUNet.base)
+    decoder_channels: Sequence[int] = (256, 128, 64, 32, 16)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         out = ResNetUNet(num_classes=self.num_classes, layers=self.layers,
-                         multilvl=self.multilvl,
+                         multilvl=self.multilvl, base=self.base,
+                         decoder_channels=self.decoder_channels,
                          dtype=self.dtype, name="unet")(x, train)
-        h = nn.Conv(256, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)],
+        h = nn.Conv(self.base * 4, (3, 3), strides=(2, 2),
+                    padding=[(1, 1), (1, 1)],
                     kernel_init=_INIT, dtype=self.dtype,
                     name="point_conv")(out.bottleneck)
         h = nn.relu(h)
         h = jnp.mean(h, axis=(1, 2))                      # global average pool
-        h = nn.relu(nn.Dense(512, kernel_init=_INIT, dtype=self.dtype,
-                             name="point_fc1")(h))
+        h = nn.relu(nn.Dense(self.base * 8, kernel_init=_INIT,
+                             dtype=self.dtype, name="point_fc1")(h))
         v = nn.Dense(self.n_points * 3, kernel_init=_INIT, dtype=self.dtype,
                      name="point_fc2")(h)
         vert = v.reshape(-1, self.n_points, 3)

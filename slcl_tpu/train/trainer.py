@@ -346,8 +346,14 @@ class Trainer:
         H = cfg.data.crop
         k = _jax.random.split(_jax.random.PRNGKey(cfg.run.seed), 8)
         layers = tuple(cfg.model.layers) or (3, 4, 6, 3)
+        base = cfg.model.base
+        kw = {}
+        if base != 64:  # CI/dryrun width knob (scale the decoder to match)
+            kw = {"base": base,
+                  "decoder_channels": tuple(max(2, base * 4 >> i)
+                                            for i in range(5))}
         self.model = ResNetUNetPoint(num_classes=cfg.model.num_classes,
-                                     layers=layers)
+                                     layers=layers, **kw)
         v = self.model.init({"params": k[0], "dropout": k[1]},
                             jnp.zeros((1, H, H, 3), jnp.float32), True)
         tx = make_optimizer(cfg.optim.optimizer, cfg.optim.lr,
@@ -356,8 +362,9 @@ class Trainer:
         tx_d = lambda: make_optimizer("adam", cfg.optim.lr_dis, betas=(cfg.adv.mmt1, cfg.adv.mmt))
         self.txs = {"seg": tx, "d_main": tx_d(), "d_aux": tx_d(),
                     "d_ent": tx_d(), "d_point": tx_d()}
-        d_main, d_aux, d_ent = (UncertaintyDiscriminator() for _ in range(3))
-        d_point = PointNetCls(k=1)
+        d_main, d_aux, d_ent = (UncertaintyDiscriminator(base=base)
+                                for _ in range(3))
+        d_point = PointNetCls(k=1, base=base)
 
         def netstate(model, key, shape, tx, rngs_extra=None, train_arg=False):
             rngs = {"params": key}
