@@ -26,21 +26,21 @@ step() { echo; echo "=== [$(date +%H:%M:%S)] $* ==="; }
 
 step "1/9 plain MCCL s0 (warmup 10/30; table row 0.639-0.718)"
 [ -d runs/mccl_s0/$MCCL_APDX/ckpt_best ] || { rm -rf runs/mccl_s0
-  run2 2400 python scripts/train.py method=mccl $BASE optim.lr=2e-3 \
+  run2 4500 python scripts/train.py method=mccl $BASE optim.lr=2e-3 \
     optim.epochs=30 contrastive.warmup_epochs=10 run.out_dir=runs/mccl_s0; }
 
 step "2/9 pretrain_rain 40ep (exports 4 component ckpts)"
 [ -f $RD/rain_encoder.npz ] || { rm -rf runs/rain_pre40
-  run2 3600 python scripts/train.py method=pretrain_rain $BASE \
+  run2 6000 python scripts/train.py method=pretrain_rain $BASE \
     optim.lr=1e-4 optim.epochs=40 run.out_dir=runs/rain_pre40; }
 
 step "3/9 MCCL+RAIN+eps co-train clip=3 s0 (table row 0.783)"
-[ -d runs/mcclrain_epsclip_s0 ] || run2 2400 python scripts/train.py \
+[ -d runs/mcclrain_epsclip_s0 ] || run2 4500 python scripts/train.py \
   method=mccl $BASE optim.lr=2e-3 optim.epochs=30 \
   contrastive.warmup_epochs=10 $RAIN run.out_dir=runs/mcclrain_epsclip_s0
 
 step "4/9 staged RAIN+eps fine-tune from MCCL ckpt s0 (table row 0.794)"
-[ -d runs/mcclrain_ft_s0 ] || run2 2400 python scripts/train.py \
+[ -d runs/mcclrain_ft_s0 ] || run2 4500 python scripts/train.py \
   method=mccl $BASE optim.lr=5e-4 optim.lr_warmup_epochs=3 optim.epochs=15 \
   contrastive.warmup_epochs=0 $RAIN run.init_from=runs/mccl_s0/$MCCL_APDX/ckpt_best \
   run.out_dir=runs/mcclrain_ft_s0
@@ -48,7 +48,7 @@ step "4/9 staged RAIN+eps fine-tune from MCCL ckpt s0 (table row 0.794)"
 step "5/9 AdvEnt s0 (table row 0.753; also the MPSCL warm start)"
 ADIR=runs/advent_s0/advent.synthetic.f0s0.drunet.bs16.lr0.002
 [ -d $ADIR/ckpt_best ] || { rm -rf runs/advent_s0
-  run2 2400 python scripts/train.py method=advent $BASE optim.lr=2e-3 \
+  run2 4500 python scripts/train.py method=advent $BASE optim.lr=2e-3 \
     optim.epochs=30 adv.w_dis=2e-4 run.out_dir=runs/advent_s0; }
 
 step "6/9 class centers from the AdvEnt checkpoint"
@@ -57,19 +57,19 @@ step "6/9 class centers from the AdvEnt checkpoint"
   run.restore_from=$ADIR/ckpt_best out=runs/advent_s0/centers.npy
 
 step "7/9 MPSCL reference init protocol s0 (table row 0.763)"
-[ -d runs/mpscl_final_s0 ] || run2 2400 python scripts/train.py \
+[ -d runs/mpscl_final_s0 ] || run2 4500 python scripts/train.py \
   method=mpscl $BASE optim.lr=2e-4 optim.lr_warmup_epochs=5 optim.epochs=30 \
   adv.w_dis=2e-4 run.init_from=$ADIR/ckpt_best \
   contrastive.init_centers=runs/advent_s0/centers.npy \
   run.out_dir=runs/mpscl_final_s0
 
 step "8/9 source-only baseline s0 (table row 0.314)"
-[ -d runs/baseline_s0 ] || run2 2400 python scripts/train.py \
+[ -d runs/baseline_s0 ] || run2 4500 python scripts/train.py \
   method=baseline $BASE optim.lr=2e-3 optim.epochs=30 \
   run.out_dir=runs/baseline_s0
 
 step "9/9 long headline: MCCL+RAIN+eps clip=3, 40ep warmup 15 (0.837-class)"
-[ -d runs/mcclrain_epsclip_long_s0 ] || run2 3600 python scripts/train.py \
+[ -d runs/mcclrain_epsclip_long_s0 ] || run2 6000 python scripts/train.py \
   method=mccl $BASE optim.lr=2e-3 optim.epochs=40 \
   contrastive.warmup_epochs=15 $RAIN \
   run.out_dir=runs/mcclrain_epsclip_long_s0
