@@ -114,3 +114,63 @@ def load_artifact(path) -> Tuple[Callable, Dict[str, Any]]:
         payload = f.read()
     exported = jexport.deserialize(bytearray(payload))
     return jax.jit(exported.call), meta
+
+
+def _main(argv) -> int:
+    """``python -m slcl_tpu.serve model.slclx <img_or_dir> [out_dir] [bs=N]``
+
+    Deployment-side batch server: load the artifact, glob grayscale images,
+    run batched inference, write ``<stem>_pred.png`` class-id masks (x60 for
+    visibility, matching scripts/predict.py). Uses only this module + cv2 —
+    the consumer-side counterpart of scripts/export.py."""
+    import sys
+
+    import cv2
+    import numpy as np
+
+    if len(argv) < 2:
+        print(_main.__doc__)
+        return 2
+    bs = int(next((a.split("=")[1] for a in argv if a.startswith("bs=")), "16"))
+    argv = [a for a in argv if not a.startswith("bs=")]
+    art, src = argv[0], Path(argv[1])
+    out = Path(argv[2]) if len(argv) > 2 else Path("preds")
+    out.mkdir(parents=True, exist_ok=True)
+
+    fn, meta = load_artifact(art)
+    crop = int(meta.get("crop", 224))
+    paths = sorted(src.glob("*.png")) + sorted(src.glob("*.jpg")) \
+        if src.is_dir() else [src]
+    if not paths:
+        print(f"no images under {src}")
+        return 1
+
+    def prep(p):
+        g = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+        if g is None:
+            raise ValueError(f"unreadable image {p}")
+        g = cv2.resize(g, (crop, crop)).astype(np.float32)
+        g = (g - g.mean()) / (g.std() + 1e-6)  # z-score, the eval convention
+        return np.stack([g, g, g], axis=-1)
+
+    n_done = 0
+    for i in range(0, len(paths), bs):
+        chunk = paths[i:i + bs]
+        batch = np.stack([prep(p) for p in chunk])
+        if len(chunk) < bs:  # static-shape pad (symbolic dim still wants
+            batch = np.concatenate(  # one compile per distinct N)
+                [batch, np.zeros((bs - len(chunk),) + batch.shape[1:],
+                                 np.float32)])
+        labels = np.asarray(fn(batch))[:len(chunk)]
+        for p, lab in zip(chunk, labels):
+            cv2.imwrite(str(out / f"{p.stem}_pred.png"),
+                        (lab * 60).astype(np.uint8))
+        n_done += len(chunk)
+    print(f"served {n_done} images -> {out} "
+          f"({meta.get('method', '?')}/{meta.get('backbone', '?')})")
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+    raise SystemExit(_main(sys.argv[1:]))

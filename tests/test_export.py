@@ -75,6 +75,29 @@ def test_artifact_rejects_foreign_file(tmp_path):
         serve.load_artifact(p)
 
 
+def test_serve_dir_cli(tmp_path, rng):
+    """python -m slcl_tpu.serve: artifact + image dir -> mask PNGs, incl. the
+    ragged final batch (static-shape pad path)."""
+    import cv2
+    crop = 32
+    cfg, model, variables = _tiny_model(crop)
+    path = tmp_path / "m.slclx"
+    serve.save_artifact(path, serve.export_segmentor(model, variables,
+                                                     crop=crop),
+                        {"crop": crop, "method": "baseline"})
+    src = tmp_path / "imgs"
+    src.mkdir()
+    for i in range(3):  # 3 images at bs=2 -> one full + one ragged batch
+        cv2.imwrite(str(src / f"s{i}.png"),
+                    rng.integers(0, 255, (40, 40)).astype(np.uint8))
+    rc = serve._main([str(path), str(src), str(tmp_path / "preds"), "bs=2"])
+    assert rc == 0
+    masks = sorted((tmp_path / "preds").glob("*_pred.png"))
+    assert len(masks) == 3
+    m = cv2.imread(str(masks[0]), cv2.IMREAD_GRAYSCALE)
+    assert m.shape == (crop, crop) and set(np.unique(m)) <= {0, 60, 120, 180}
+
+
 def test_export_cli_smoke(tmp_path):
     """scripts/export.py end-to-end (fresh-init mode) incl. its own
     artifact-vs-live-model verification (smoke=1)."""
