@@ -324,6 +324,14 @@ class RunConfig:
     # readback per epoch instead of label-map pulls; the final test always
     # uses the full host path with KLC + surface metrics
     fast_val: bool = False
+    # TPU profiling: when set, wrap one training epoch (profile_epoch) in a
+    # jax.profiler trace written under this directory (view with
+    # tensorboard-plugin-profile / xprof). Replaces the reference's
+    # wall-clock-only @timer.timeit decoration (utils/timer.py:4-19) with a
+    # real device trace; defaults to epoch 1 so the epoch-0 compile doesn't
+    # dominate the trace.
+    profile_dir: str = ""
+    profile_epoch: int = 1
     # >1: run K train steps per dispatch via lax.scan over K stacked batches
     # (steps.make_multi_step) — amortizes host->device dispatch, the dominant
     # per-step overhead on tunneled TPUs. Leftover (<K) batches at epoch end

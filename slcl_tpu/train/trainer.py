@@ -782,7 +782,14 @@ class Trainer:
                 print(f"restore failed ({e}); training from scratch")
         for epoch in range(cfg.optim.epochs):
             t0 = time.time()
-            train_metrics = self.train_epoch(epoch)
+            if cfg.run.profile_dir and epoch == cfg.run.profile_epoch:
+                # one-epoch device trace (run.profile_dir); the TPU-native
+                # replacement for the reference's print-only timers
+                from ..utils.timer import profile_trace
+                with profile_trace(cfg.run.profile_dir):
+                    train_metrics = self.train_epoch(epoch)
+            else:
+                train_metrics = self.train_epoch(epoch)
             record: Dict[str, Any] = {"epoch": epoch, **train_metrics}
             if cfg.method == "pretrain_rain":
                 # checkpoint on min combined loss (Pretrainer_RAIN.py:216-227)
