@@ -161,7 +161,10 @@ def _main(argv) -> int:
             batch = np.concatenate(  # one compile per distinct N)
                 [batch, np.zeros((bs - len(chunk),) + batch.shape[1:],
                                  np.float32)])
-        labels = np.asarray(fn(batch))[:len(chunk)]
+        res = fn(batch)
+        if isinstance(res, (tuple, list)):  # with_probs artifact: (labels, probs)
+            res = res[0]
+        labels = np.asarray(res)[:len(chunk)]
         for p, lab in zip(chunk, labels):
             cv2.imwrite(str(out / f"{p.stem}_pred.png"),
                         (lab * 60).astype(np.uint8))

@@ -98,6 +98,26 @@ def test_serve_dir_cli(tmp_path, rng):
     assert m.shape == (crop, crop) and set(np.unique(m)) <= {0, 60, 120, 180}
 
 
+def test_serve_cli_with_probs_artifact(tmp_path, rng):
+    """The serve CLI must handle artifacts exported with_probs=True
+    (tuple-returning callable) by writing the label component."""
+    import cv2
+    crop = 32
+    cfg, model, variables = _tiny_model(crop)
+    path = tmp_path / "mp.slclx"
+    serve.save_artifact(path, serve.export_segmentor(model, variables,
+                                                     crop=crop,
+                                                     with_probs=True),
+                        {"crop": crop})
+    src = tmp_path / "imgs"
+    src.mkdir()
+    cv2.imwrite(str(src / "a.png"),
+                rng.integers(0, 255, (40, 40)).astype(np.uint8))
+    rc = serve._main([str(path), str(src), str(tmp_path / "preds")])
+    assert rc == 0
+    assert (tmp_path / "preds" / "a_pred.png").exists()
+
+
 def test_export_cli_smoke(tmp_path):
     """scripts/export.py end-to-end (fresh-init mode) incl. its own
     artifact-vs-live-model verification (smoke=1)."""

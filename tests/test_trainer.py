@@ -41,6 +41,18 @@ def test_trainer_full_loop_and_logs(tmp_path):
     assert (out / "ckpt_last").exists()
 
 
+def test_profile_dir_writes_trace(tmp_path):
+    """run.profile_dir wraps one epoch in a jax.profiler trace (the TPU
+    replacement for the reference's print-only @timer.timeit, SURVEY §5)."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path)
+    cfg.run.profile_dir = str(tmp_path / "prof")
+    cfg.run.profile_epoch = 1
+    Trainer(cfg).train()
+    traces = list((tmp_path / "prof").rglob("*.xplane.pb"))
+    assert traces, "no xplane trace written under run.profile_dir"
+
+
 def test_checkpoint_restore_roundtrip(tmp_path):
     from slcl_tpu.train.trainer import Trainer
     cfg = tiny_cfg(tmp_path, epochs=1)
