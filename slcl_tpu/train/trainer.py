@@ -53,8 +53,10 @@ class Trainer:
         if cfg.method == "adaptevery" and not cfg.data.vert:
             cfg.data.vert = True
         self.apdx = build_apdx(cfg)
+        # created lazily (train()/save_checkpoint): eval-only consumers of a
+        # Trainer (gen_class_centers, export, evaluate) must not litter
+        # empty run dirs
         self.out_dir = Path(cfg.run.out_dir) / self.apdx
-        self.out_dir.mkdir(parents=True, exist_ok=True)
         self.datasets = datasets or self._default_datasets()
         self._build()
         self.history: list = []
@@ -633,6 +635,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def save_checkpoint(self, tag: str = "last"):
         import orbax.checkpoint as ocp
+        self.out_dir.mkdir(parents=True, exist_ok=True)
         path = (self.out_dir / f"ckpt_{tag}").absolute()
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, self.state, force=True)
@@ -740,6 +743,7 @@ class Trainer:
 
     def train(self) -> Dict[str, Any]:
         cfg = self.cfg
+        self.out_dir.mkdir(parents=True, exist_ok=True)
         log_path = self.out_dir / "log.jsonl"
         from ..utils.callbacks import EarlyStopCallback, ModelCheckPointCallback
         from ..utils.tb import TBWriter

@@ -15,8 +15,15 @@ import os
 def configure_jax() -> None:
     import jax
 
-    if os.environ.get("JAX_PLATFORMS"):
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    plat = os.environ.get("JAX_PLATFORMS", "")
+    if plat:
+        jax.config.update("jax_platforms", plat)
+    # Separate cache namespaces per backend: axon-attached processes compile
+    # remotely, and XLA:CPU AOT entries built on the compile-server machine
+    # fail to load on this host (cpu_aot_loader machine-feature mismatch;
+    # worst case hung collectives/SIGABRT in multi-device CPU runs). Pure-CPU
+    # runs therefore never share the TPU-process cache dir.
+    default = "/tmp/jax_cache_cpu" if plat == "cpu" else "/tmp/jax_cache"
     jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+                      os.environ.get("JAX_CACHE_DIR", default))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

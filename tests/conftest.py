@@ -17,6 +17,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 # keep float32 matmuls exact on CPU for golden-value comparisons
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent cache, CPU-only namespace (never /tmp/jax_cache: axon-attached
+# processes park remotely-compiled CPU AOT entries there that abort on this
+# host) — repeated suite runs skip recompilation
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -41,6 +41,17 @@ def test_trainer_full_loop_and_logs(tmp_path):
     assert (out / "ckpt_last").exists()
 
 
+def test_ctor_does_not_litter_run_dirs(tmp_path):
+    """Eval-only Trainer consumers (gen_class_centers/export/evaluate) must
+    not create empty run dirs; train() creates out_dir lazily."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path, epochs=1)
+    t = Trainer(cfg)
+    assert not t.out_dir.exists()
+    t.train()
+    assert (t.out_dir / "log.jsonl").exists()
+
+
 def test_profile_dir_writes_trace(tmp_path):
     """run.profile_dir wraps one epoch in a jax.profiler trace (the TPU
     replacement for the reference's print-only @timer.timeit, SURVEY §5)."""
