@@ -24,7 +24,7 @@ def _run_cli(script, args, tmp_path, timeout=560):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)          # single CPU device is enough here
-    env["JAX_CACHE_DIR"] = "/tmp/jax_cache"
+    env["JAX_CACHE_DIR"] = "/tmp/jax_cache_cpu"  # CPU-only namespace
     out = subprocess.run(
         [sys.executable, str(ROOT / "scripts" / script)] + args,
         env=env, capture_output=True, text=True, timeout=timeout, cwd=ROOT)
