@@ -1,6 +1,6 @@
 #!/bin/bash
 # Probe: does the reference's pretrained-init protocol (validated for MPSCL
-# in tools/mpscl_ladder3.sh) also lift MCCL, the paper-proper method?
+# in tools/mpscl_protocol.sh) also lift MCCL, the paper-proper method?
 # Seed 0 only; winners go to a full seed ladder.
 #   plain MCCL s0 (round 2):      0.639
 #   MCCL+RAIN+eps s0 (round 2):   0.764

@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Error bars + resolvable-ordering analysis for the 5-seed method table
+(VERDICT r3 #1).
+
+Two repeats per cell:
+  r1 = the committed round-2/3 measurements (examples/README.md tables,
+       produced on the round-2/3 hosts) — hardcoded below with provenance;
+  r2 = this host's regeneration (runs/<name>_s<seed>/*/summary.json).
+
+Outputs (markdown to stdout):
+  * per-method mean +/- between-seed std, per-cell repeat values,
+  * the cross-repeat drift distribution (the benchmark's measured noise
+    floor — same code, same seed, different host/XLA build),
+  * paired per-seed comparisons for the orderings the README claims, each
+    with a sign test (exact binomial) and a paired bootstrap CI of the mean
+    difference computed over seed-level cell means,
+  * a verdict per ordering: RESOLVABLE (CI excludes 0 and wins dominate) /
+    NOT RESOLVABLE.
+
+Statistical note: with n=5 seeds the smallest two-sided sign-test p is
+2/32 = 0.0625, so "resolvable" here means the bootstrap CI excludes zero
+AND no seed regresses; orderings inside the repeat-drift band are reported
+as unresolved regardless of mean gap.
+"""
+import json
+import sys
+from itertools import product
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+RUNS = ROOT / "runs"
+SEEDS = [0, 7, 42, 13, 99]
+
+# repeat 1: committed measurements (examples/README.md, round-2/3 hosts)
+R1 = {
+    "baseline": {0: 0.314, 7: 0.267, 42: 0.637, 13: 0.243, 99: 0.168},
+    "advent": {0: 0.753, 7: 0.689, 42: 0.747, 13: 0.623, 99: 0.461},
+    "mpscl_final": {0: 0.763, 7: 0.772, 42: 0.747, 13: 0.623, 99: 0.461},
+    "mccl": {0: 0.639, 7: 0.709, 42: 0.680, 13: 0.724, 99: 0.552},
+    "mcclrain_epsclip": {0: 0.783, 7: 0.731, 42: 0.695, 13: 0.688, 99: 0.690},
+}
+LABEL = {
+    "baseline": "baseline (source-only)",
+    "advent": "AdvEnt",
+    "mpscl_final": "MPSCL (reference init protocol)",
+    "mccl": "MCCL (soft-labeled contrastive)",
+    "mcclrain_epsclip": "MCCL+RAIN+eps (clip=3)",
+}
+# orderings the README claims, as (A, B) meaning "A > B"
+ORDERINGS = [
+    ("advent", "baseline"),
+    ("mccl", "baseline"),
+    ("mpscl_final", "advent"),
+    ("mccl", "advent"),
+    ("mcclrain_epsclip", "mccl"),
+    ("mcclrain_epsclip", "advent"),
+]
+
+
+def regen_value(method: str, seed: int):
+    d = RUNS / f"{method}_s{seed}"
+    vals = sorted(d.glob("*/summary.json"))
+    if not vals:
+        return None
+    s = json.loads(vals[0].read_text())
+    v = s.get("best_val_dice")
+    return None if v is None else float(v)
+
+
+def load_cells():
+    """cells[method][seed] = list of repeat values (r1 [+ r2 if regenerated])."""
+    cells = {}
+    for m in R1:
+        cells[m] = {}
+        for s in SEEDS:
+            reps = [R1[m][s]]
+            r2 = regen_value(m, s)
+            if r2 is not None:
+                reps.append(r2)
+            cells[m][s] = reps
+    return cells
+
+
+def bootstrap_ci(diffs, n=20000, alpha=0.05, rng=None):
+    rng = rng or np.random.default_rng(0)
+    diffs = np.asarray(diffs, float)
+    idx = rng.integers(0, len(diffs), size=(n, len(diffs)))
+    means = diffs[idx].mean(axis=1)
+    return (float(np.quantile(means, alpha / 2)),
+            float(np.quantile(means, 1 - alpha / 2)))
+
+
+def sign_test_p(diffs):
+    """Exact two-sided sign test (ties dropped)."""
+    d = [x for x in diffs if x != 0]
+    if not d:
+        return 1.0
+    k = sum(1 for x in d if x > 0)
+    n = len(d)
+    from math import comb
+    tail = sum(comb(n, i) for i in range(0, min(k, n - k) + 1)) / 2 ** n
+    return min(1.0, 2 * tail)
+
+
+def main():
+    cells = load_cells()
+    print("## Method table with dispersion (2 repeats x 5 seeds)\n")
+    print("| method | " + " | ".join(f"s{s}" for s in SEEDS)
+          + " | mean ± seed-std | repeat drift (mean / max |Δ|) |")
+    print("|---|" + "---|" * (len(SEEDS) + 2))
+    drift_all = []
+    for m in R1:
+        row, drifts = [], []
+        for s in SEEDS:
+            reps = cells[m][s]
+            row.append("/".join(f"{v:.3f}" for v in reps))
+            if len(reps) == 2:
+                drifts.append(abs(reps[1] - reps[0]))
+        means = [float(np.mean(cells[m][s])) for s in SEEDS]
+        drift_all += [(m, d) for d in drifts]
+        drift_txt = (f"{np.mean(drifts):.3f} / {np.max(drifts):.3f}"
+                     if drifts else "n/a")
+        print(f"| {LABEL[m]} | " + " | ".join(row)
+              + f" | {np.mean(means):.3f} ± {np.std(means, ddof=1):.3f}"
+              + f" | {drift_txt} |")
+    if drift_all:
+        ds = [d for _, d in drift_all]
+        print(f"\nCross-host repeat drift over {len(ds)} cells: "
+              f"median {np.median(ds):.3f}, mean {np.mean(ds):.3f}, "
+              f"max {np.max(ds):.3f} "
+              f"(worst: {max(drift_all, key=lambda t: t[1])[0]}).")
+
+    print("\n## Paired orderings (seed-level cell means, n=5)\n")
+    print("| claim | per-seed Δ | wins/ties/losses | mean Δ "
+          "[95% bootstrap CI] | sign-test p | verdict |")
+    print("|---|---|---|---|---|---|")
+    for a, b in ORDERINGS:
+        va = np.array([np.mean(cells[a][s]) for s in SEEDS])
+        vb = np.array([np.mean(cells[b][s]) for s in SEEDS])
+        d = va - vb
+        lo, hi = bootstrap_ci(d)
+        w = int((d > 0).sum())
+        t = int((d == 0).sum())
+        l = int((d < 0).sum())
+        p = sign_test_p(d)
+        resolvable = lo > 0 and l == 0
+        verdict = "**RESOLVABLE**" if resolvable else "not resolvable"
+        print(f"| {LABEL[a]} > {LABEL[b]} | "
+              + " ".join(f"{x:+.3f}" for x in d)
+              + f" | {w}/{t}/{l} | {np.mean(d):+.3f} [{lo:+.3f}, {hi:+.3f}]"
+              + f" | {p:.3f} | {verdict} |")
+
+
+if __name__ == "__main__":
+    main()

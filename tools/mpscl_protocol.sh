@@ -1,5 +1,6 @@
 #!/bin/bash
-# FINAL MPSCL protocol ladder, all 5 seeds under one recipe:
+# THE MPSCL protocol (formerly mpscl_ladder4.sh; ladders 1-3 were the
+# round-3 tuning history, collapsed in round 4), all 5 seeds under one recipe:
 #   AdvEnt warm start (run.init_from) + AdvEnt class centers
 #   + fine-tune LR 2e-4 + 5-epoch LR warmup (damps the fresh-Adam kick
 #   that destabilized weak inits s13/s99 in ladder3) + the epoch -1
