@@ -251,6 +251,12 @@ class RAINConfig:
     # seg loss gets small (Trainer_RAIN.py:133-147) — 0 keeps that exact
     # behavior, >0 clamps (see examples/README.md, RAIN+eps diagnosis)
     eps_clip: float = 0.0
+    # stylization strength: img_style <- alpha*stylized + (1-alpha)*content.
+    # 1.0 is reference-exact (full AdaIN restyling). <1 is a repair knob for
+    # seeds where the stylized branch itself degrades target dice (r4
+    # stylized-branch diagnostics) — softens the style shift w/o removing
+    # the augmentation.
+    style_alpha: float = 1.0
     consist_w: float = 2e-3
     mulstyle: bool = False
     mulstyle2: bool = False

@@ -462,6 +462,11 @@ def make_mccl_step(cfg, model, txs, rain_model=None,
                     rngs={"noise": rng_noise})
                 img_style = stylized_to_gray3(img_style)
                 style_size = img_style.shape[0]
+                if cfg.rain.style_alpha < 1.0:
+                    # soften the style shift (see RAINConfig.style_alpha)
+                    a = cfg.rain.style_alpha
+                    img_style = (a * img_style
+                                 + (1.0 - a) * img_s[:style_size])
             seg_sz = style_size + s_size
             if c.concat_forward:
                 # reference-exact: ONE forward over the full concat
@@ -514,6 +519,42 @@ def make_mccl_step(cfg, model, txs, rain_model=None,
                 # the reference's samp_loss is captured before loss_seg_s is
                 # added (Trainer_MCCL.py:229-241)
                 seg_only = loss_style
+
+                # --- stylized-branch diagnostics (r4: per-seed RAIN
+                # regression root-causing). All stop_gradient'd scalars:
+                # style_hist_d  — total-variation distance between 32-bin
+                #                 intensity histograms of the stylized batch
+                #                 and its source content (style drift);
+                # style_mean/std, src_mean — raw intensity stats;
+                # dice_style_c{k} / dice_src_c{k} — hard per-class train-res
+                #                 dice of each branch vs the source labels
+                #                 (does the net still FIT the stylized view?)
+                def _hist32(x):
+                    idx = jnp.clip((x.astype(jnp.float32) * 32.0)
+                                   .astype(jnp.int32), 0, 31)
+                    h = jnp.zeros((32,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+                    return h / jnp.maximum(jnp.sum(h), 1.0)
+
+                sty = jax.lax.stop_gradient(img_style)
+                src_ref = img_s[:style_size]
+                metrics["style_hist_d"] = 0.5 * jnp.sum(
+                    jnp.abs(_hist32(sty) - _hist32(src_ref)))
+                metrics["style_mean"] = jnp.mean(sty.astype(jnp.float32))
+                metrics["style_std"] = jnp.std(sty.astype(jnp.float32))
+                metrics["src_mean"] = jnp.mean(src_ref.astype(jnp.float32))
+                lab_sty = labels_s[:style_size]
+                cls_sty = jnp.argmax(jax.lax.stop_gradient(
+                    pred_src_all[:style_size]), -1)
+                cls_src = jnp.argmax(jax.lax.stop_gradient(pred_s), -1)
+                for k in range(1, n_class):
+                    for tag, cls_map, lab_map in (
+                            ("style", cls_sty, lab_sty),
+                            ("src", cls_src, labels_s)):
+                        pk = (cls_map == k).astype(jnp.float32)
+                        lk = (lab_map == k).astype(jnp.float32)
+                        num = 2.0 * jnp.sum(pk * lk)
+                        den = jnp.maximum(jnp.sum(pk) + jnp.sum(lk), 1.0)
+                        metrics[f"dice_{tag}_c{k}"] = num / den
 
             probs_t_all = jax.nn.softmax(pred_t_all.astype(jnp.float32), -1)
             probs_t, probs_t_aug = probs_t_all[:t_size], probs_t_all[t_size:]

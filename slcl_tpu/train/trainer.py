@@ -784,9 +784,16 @@ class Trainer:
                 print(f"resumed from checkpoint '{cfg.run.restore_from}'")
             except Exception as e:
                 print(f"restore failed ({e}); training from scratch")
+        profile_epoch = cfg.run.profile_epoch
+        if cfg.run.profile_dir and profile_epoch >= cfg.optim.epochs:
+            # a 1-epoch run with the default profile_epoch=1 would silently
+            # produce no trace — clamp to the last epoch that actually runs
+            profile_epoch = cfg.optim.epochs - 1
+            print(f"run.profile_epoch clamped to {profile_epoch} "
+                  f"(run has only {cfg.optim.epochs} epoch(s))")
         for epoch in range(cfg.optim.epochs):
             t0 = time.time()
-            if cfg.run.profile_dir and epoch == cfg.run.profile_epoch:
+            if cfg.run.profile_dir and epoch == profile_epoch:
                 # one-epoch device trace (run.profile_dir); the TPU-native
                 # replacement for the reference's print-only timers
                 from ..utils.timer import profile_trace

@@ -23,7 +23,8 @@ def configure_jax() -> None:
     # fail to load on this host (cpu_aot_loader machine-feature mismatch;
     # worst case hung collectives/SIGABRT in multi-device CPU runs). Pure-CPU
     # runs therefore never share the TPU-process cache dir.
-    default = "/tmp/jax_cache_cpu" if plat == "cpu" else "/tmp/jax_cache"
+    cpu_first = plat.lower().split(",")[0].strip() == "cpu"
+    default = "/tmp/jax_cache_cpu" if cpu_first else "/tmp/jax_cache"
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", default))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -13,7 +13,9 @@ class TBWriter:
             try:
                 from tensorboardX import SummaryWriter
                 self._writer = SummaryWriter(log_dir)
-            except Exception:
+            except Exception as e:
+                print(f"TBWriter: tensorboardX unavailable ({e}); "
+                      "TB scalars disabled — log.jsonl remains the record")
                 self._writer = None
 
     def scalars(self, metrics: Dict[str, float], step: int,
