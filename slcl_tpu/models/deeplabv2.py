@@ -104,6 +104,7 @@ class BCLDeepLab(nn.Module):
     num_classes: int = 19
     layers: Sequence[int] = (3, 4, 23, 3)
     pair: bool = False
+    base: int = 64   # stage width knob; 64 is reference-exact (ResNet-101)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -112,7 +113,8 @@ class BCLDeepLab(nn.Module):
         x = x.astype(self.dtype)
 
         def stem(x, prefix):
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+            x = nn.Conv(self.base, (7, 7), strides=(2, 2),
+                        padding=[(3, 3), (3, 3)],
                         use_bias=False, kernel_init=_INIT, dtype=self.dtype,
                         name=f"{prefix}conv1")(x)
             x = FrozenBatchNorm(dtype=self.dtype, name=f"{prefix}bn1")(x, train)
@@ -133,15 +135,16 @@ class BCLDeepLab(nn.Module):
         # ``source`` is static; both stems must exist in the param tree, so
         # the unused one is still traced at init time
         x_src = x_tgt = None
+        b = self.base
         if (not self.pair) or source or self.is_initializing():
-            x_src = stage(stem(x, ""), 64, self.layers[0], 1, 1, "layer1")
+            x_src = stage(stem(x, ""), b, self.layers[0], 1, 1, "layer1")
         if self.pair and ((not source) or self.is_initializing()):
-            x_tgt = stage(stem(x, "target_"), 64, self.layers[0], 1, 1,
+            x_tgt = stage(stem(x, "target_"), b, self.layers[0], 1, 1,
                           "target_layer1")
         x = x_src if ((not self.pair) or source) else x_tgt
-        x = stage(x, 128, self.layers[1], 2, 1, "layer2")
-        x = stage(x, 256, self.layers[2], 1, 2, "layer3")
-        x = stage(x, 512, self.layers[3], 1, 4, "layer4")
+        x = stage(x, 2 * b, self.layers[1], 2, 1, "layer2")
+        x = stage(x, 4 * b, self.layers[2], 1, 2, "layer3")
+        x = stage(x, 8 * b, self.layers[3], 1, 4, "layer4")
         pred, feature = _ASPPWithFeature(self.num_classes, dtype=self.dtype,
                                          name="layer5")(x)
         pred = upsample_bilinear(pred, in_size, align_corners=True)

@@ -417,7 +417,7 @@ class Trainer:
         H = cfg.data.crop
         layers = tuple(cfg.model.layers) or (3, 4, 23, 3)
         self.model = BCLDeepLab(num_classes=cfg.model.num_classes,
-                                layers=layers)
+                                layers=layers, base=cfg.model.base)
         v = self.model.init(_jax.random.PRNGKey(cfg.run.seed),
                             jnp.zeros((1, H, H, 3), jnp.float32), True, True)
         tx = make_optimizer("sgd", cfg.optim.lr, momentum=cfg.optim.momentum,
