@@ -104,6 +104,83 @@ def sign_test_p(diffs):
     return min(1.0, 2 * tail)
 
 
+def init_dice(method: str, seed: int):
+    """The epoch -1 warm-start init eval (run.init_from protocol) from the
+    run's history — the AdvEnt-inherited floor of the best-selection."""
+    d = RUNS / f"{method}_s{seed}"
+    vals = sorted(d.glob("*/summary.json"))
+    if not vals:
+        return None
+    for rec in json.loads(vals[0].read_text()).get("history", []):
+        if rec.get("epoch") == -1 and "val_dice" in rec:
+            return float(rec["val_dice"])
+    return None
+
+
+def w_mpcl_control():
+    """VERDICT r3 #2: does the margin-contrastive term itself pay? Paired
+    same-host arms (identical recipe/warm start/LR; only w_mpcl_{s,t}
+    zeroed in the control), all 5 seeds."""
+    rows = []
+    for s in SEEDS:
+        on = regen_value("mpscl_final", s)
+        off = regen_value("mpscl_w0", s)
+        init = init_dice("mpscl_final", s)
+        if on is None or off is None:
+            continue
+        rows.append((s, init, on, off))
+    if not rows:
+        print("\n(w_mpcl on/off arms not regenerated yet)")
+        return
+    print("\n## MPSCL margin-contrastive term: paired w_mpcl on/off "
+          f"(same host, {len(rows)}/5 seeds)\n")
+    print("| seed | AdvEnt-init floor | w_mpcl ON | w_mpcl=0 | Δ(on-off) | "
+          "stage gain (on - init) |")
+    print("|---|---|---|---|---|---|")
+    d = []
+    gains = []
+    for s, init, on, off in rows:
+        d.append(on - off)
+        init_txt = f"{init:.3f}" if init is not None else "n/a"
+        gain = (on - init) if init is not None else float("nan")
+        gains.append(gain)
+        print(f"| {s} | {init_txt} | {on:.3f} | {off:.3f} | {on - off:+.3f} "
+              f"| {gain:+.3f} |")
+    lo, hi = bootstrap_ci(d)
+    w = sum(1 for x in d if x > 0)
+    print(f"\nPaired Δ(on-off): mean {np.mean(d):+.3f} "
+          f"[{lo:+.3f}, {hi:+.3f}] (95% bootstrap), wins {w}/{len(d)}, "
+          f"sign-test p {sign_test_p(d):.3f}. "
+          f"Mean stage gain over the init floor: {np.nanmean(gains):+.3f}.")
+
+
+def staged_ft_row():
+    """The zero-regression staged protocol (MCCL -> RAIN+eps fine-tune):
+    paired against this host's plain-MCCL and co-train cells."""
+    rows = []
+    for s in SEEDS:
+        ft = regen_value("mcclrain_ft", s)
+        mccl = regen_value("mccl", s)
+        co = regen_value("mcclrain_epsclip", s)
+        if ft is None or mccl is None:
+            continue
+        rows.append((s, mccl, co, ft))
+    if not rows:
+        print("\n(staged-ft arms not regenerated yet)")
+        return
+    print(f"\n## Staged RAIN+eps fine-tune (same host, {len(rows)}/5 seeds)\n")
+    print("| seed | plain MCCL | co-train | staged ft | Δ(ft-mccl) |")
+    print("|---|---|---|---|---|")
+    d = []
+    for s, mccl, co, ft in rows:
+        d.append(ft - mccl)
+        co_txt = f"{co:.3f}" if co is not None else "n/a"
+        print(f"| {s} | {mccl:.3f} | {co_txt} | {ft:.3f} | {ft - mccl:+.3f} |")
+    regress = sum(1 for x in d if x < -0.005)
+    print(f"\nΔ(ft-mccl): mean {np.mean(d):+.3f}, regressions (<-0.005): "
+          f"{regress}/{len(d)}.")
+
+
 def main():
     cells = load_cells()
     print("## Method table with dispersion (2 repeats x 5 seeds)\n")
@@ -151,6 +228,9 @@ def main():
               + " ".join(f"{x:+.3f}" for x in d)
               + f" | {w}/{t}/{l} | {np.mean(d):+.3f} [{lo:+.3f}, {hi:+.3f}]"
               + f" | {p:.3f} | {verdict} |")
+
+    w_mpcl_control()
+    staged_ft_row()
 
 
 if __name__ == "__main__":

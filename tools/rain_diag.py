@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Stylized-branch diagnosis for the per-seed MCCL+RAIN regressions
+(VERDICT r3 #5): compare the per-epoch RAIN diagnostics that
+make_mccl_step logs (slcl_tpu/train/steps.py, r4 diagnostics block)
+between a regressing seed and a winning seed.
+
+Per-epoch columns (averaged over the epoch's steps by the trainer):
+  style_hist_d   L1 distance between 32-bin intensity histograms of the
+                 stylized batch and the source batch (style shift size)
+  style_mean/std stylized-image intensity stats (src_mean for reference)
+  dice_style_c*  soft train dice of the stylized branch per class
+  dice_src_c*    soft train dice of the source branch per class (does the
+                 net still fit the clean view?)
+  sampling_norm  ||sampling|| after the eps update (VAE prior ~ sqrt(512)
+                 ~= 22.6 for a unit-normal draw)
+  eps_step_norm  norm of the applied eps ascent step (0 while warm-up)
+  seg_style      stylized-branch CE+Jaccard; loss_consist bottleneck MSE
+
+Usage: python tools/rain_diag.py [bad_run_dir] [good_run_dir]
+Defaults: runs/mcclrain_epsclip_s13 vs runs/mcclrain_epsclip_s0.
+"""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parent.parent
+
+KEYS = ["val_dice", "seg_s", "seg_style", "loss_consist", "style_hist_d",
+        "style_mean", "style_std", "src_mean", "sampling_norm",
+        "eps_step_norm", "dice_style_c1", "dice_style_c2", "dice_style_c3",
+        "dice_src_c1", "dice_src_c2", "dice_src_c3"]
+
+
+def load(run_dir: Path):
+    logs = sorted(run_dir.glob("*/log.jsonl"))
+    if not logs:
+        sys.exit(f"no log.jsonl under {run_dir}")
+    recs = [json.loads(l) for l in logs[0].read_text().splitlines() if l.strip()]
+    return [r for r in recs if "epoch" in r]
+
+
+def table(recs, label):
+    print(f"\n### {label}\n")
+    cols = [k for k in KEYS if any(k in r for r in recs)]
+    print("| epoch | " + " | ".join(cols) + " |")
+    print("|---|" + "---|" * len(cols))
+    for r in recs:
+        cells = []
+        for k in cols:
+            v = r.get(k)
+            cells.append(f"{v:.3f}" if isinstance(v, (int, float)) else "")
+        print(f"| {r['epoch']} | " + " | ".join(cells) + " |")
+
+
+def summarize(bad, good):
+    """Heuristic attribution: which diagnostic separates the seeds?"""
+    def post_warm(recs, k):
+        vals = [r[k] for r in recs if isinstance(r.get(k), (int, float))
+                and r.get("epoch", -1) >= 0 and r.get(k) == r.get(k)]
+        return np.array(vals[len(vals) // 3:]) if vals else None
+
+    print("\n## Separating diagnostics (late-run means, bad vs good)\n")
+    print("| diagnostic | bad seed | good seed | ratio |")
+    print("|---|---|---|---|")
+    for k in KEYS:
+        b, g = post_warm(bad, k), post_warm(good, k)
+        if b is None or g is None or not len(b) or not len(g):
+            continue
+        bm, gm = float(b.mean()), float(g.mean())
+        ratio = bm / gm if gm else float("inf")
+        print(f"| {k} | {bm:.3f} | {gm:.3f} | {ratio:.2f} |")
+
+
+def main():
+    bad = ROOT / (sys.argv[1] if len(sys.argv) > 1
+                  else "runs/mcclrain_epsclip_s13")
+    good = ROOT / (sys.argv[2] if len(sys.argv) > 2
+                   else "runs/mcclrain_epsclip_s0")
+    rb, rg = load(bad), load(good)
+    table(rb, f"bad seed: {bad.name}")
+    table(rg, f"good seed: {good.name}")
+    summarize(rb, rg)
+
+
+if __name__ == "__main__":
+    main()
