@@ -142,7 +142,7 @@ class MMWHSPngDataset:
                  fold: int = 0, split: int = 0, crop: int = 224,
                  normalization: str = "minmax", augmentation: bool = False,
                  aug_mode: str = "simple", aug_counter: bool = False,
-                 seed: int = 1234):
+                 vert: bool = False, seed: int = 1234):
         self.data_dir = Path(data_dir)
         self.modality = modality.lower()
         self.crop = crop
@@ -150,12 +150,18 @@ class MMWHSPngDataset:
         self.aug = augmentation
         self.aug_mode = aug_mode
         self.aug_counter = aug_counter
+        self.vert = vert
         self.seed = seed
         self._epoch = 0
         phase = "test" if domain == "test" else "train"
         sub = "A" if self.modality == "ct" else "B"
         self.img_dir = self.data_dir / f"{phase}{sub}"
         self.lab_dir = self.data_dir / f"{phase}{sub}mask"
+        # precomputed label point clouds for AdaptEvery's Chamfer/PointNet
+        # branch (reference data_generator_mmwhs.py:48-49,64-65 loads
+        # ``vert{MOD}/lab{num}_slice{slc}.npy``; adapted to this layout's
+        # flattened image naming)
+        self.vert_dir = self.data_dir / f"vert{self.modality.upper()}"
         pats = patient_lists(self.modality, domain, fold, split)
         self.items = []
         for p in pats:
@@ -163,6 +169,13 @@ class MMWHSPngDataset:
                 fp = self.img_dir / f"pat_{p}_{self.modality}_{i}.png"
                 if fp.exists():
                     self.items.append(fp)
+        if vert:
+            missing = [f.name for f in self.items
+                       if not (self.vert_dir / f"{f.stem}.npy").exists()]
+            if missing:
+                raise FileNotFoundError(
+                    f"vert=True but {len(missing)} point-cloud files are "
+                    f"missing under {self.vert_dir} (e.g. {missing[0]!r})")
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
@@ -200,8 +213,15 @@ class MMWHSPngDataset:
                 if rng.random() < 0.5:
                     img, mask = T.elastic_deform(img, mask, rng,
                                                  sigma=rng.uniform(1, 7))
-        return (np.stack([img] * 3, -1).astype(np.float32),
-                mask.astype(np.int64), fp.name)
+        img3 = np.stack([img] * 3, -1).astype(np.float32)
+        if self.vert:
+            # vert branch (data_generator_mmwhs.py:129-131): the augmented
+            # image with the STATIC precomputed point cloud — vertices
+            # deliberately do not track augmentation (reference behaviour)
+            verts = np.load(self.vert_dir / f"{fp.stem}.npy")
+            return (img3, mask.astype(np.int64),
+                    verts.astype(np.float32), fp.name)
+        return img3, mask.astype(np.int64), fp.name
 
 
 def prepare_datasets_mmwhs(cfg):
@@ -213,12 +233,24 @@ def prepare_datasets_mmwhs(cfg):
     cls = MMWHSRawDataset if d.raw else MMWHSPngDataset
     kw = dict(data_dir=d.data_dir, fold=d.fold, split=d.split, crop=d.crop,
               normalization=d.normalization)
+    src_kw = {}
     if d.raw:
         kw["percent"] = d.percent
         kw["val_num"] = d.val_num
+        if d.vert:
+            # the reference's raw generator silently ignores vert=True
+            # (data_generator_mmwhs_raw.py has no vert path even though
+            # Trainer_AdaptEvery.py:185-187 passes it) — fail loudly
+            # instead of training AdaptEvery without its point branch
+            raise ValueError("data.vert requires the preprocessed-PNG "
+                             "MMWHS tree (data.raw=false); the raw layout "
+                             "has no vert{MOD}/ point-cloud files")
+    elif d.vert:
+        # source loader only, like the synthetic pipeline / zip_domains
+        src_kw["vert"] = True
     return {
         "train_s": cls(modality=src, domain="s", augmentation=d.aug_s,
-                       aug_mode=d.aug_mode, **kw),
+                       aug_mode=d.aug_mode, **src_kw, **kw),
         "train_t": cls(modality=trg, domain="t", augmentation=d.aug_t,
                        aug_mode=d.aug_mode, aug_counter=d.aug_counter, **kw),
         "valid_t": cls(modality=trg, domain="test", **kw),

@@ -150,3 +150,49 @@ def test_pretrain_rain_to_mccl_rain_chain(tmp_path):
         assert k in last and np.isfinite(last[k]), k
     assert last["eps_step_norm"] > 0.0
     assert s["test"] is not None
+
+
+@pytest.mark.slow
+def test_train_adaptevery_cli_on_mini_mmwhs_png(tmp_path):
+    """scripts/train_AdaptEvery.py on the preprocessed-PNG MMWHS tree with
+    precomputed vert{MOD}/ label point clouds (reference
+    train_AdaptEvery.py + Trainer_AdaptEvery.py:189-191 prepare_dataset
+    vert=True, data_generator_mmwhs.py:48-49,129-131 .npy loading): the
+    four-discriminator step incl. the Chamfer point branch end-to-end."""
+    out_dir = tmp_path / "runs"
+    _run_cli("train_AdaptEvery.py",
+             [f"data.data_dir={FIX / 'mini_mmwhs_png'}", "data.dataset=mmwhs",
+              "data.raw=false", "model.layers=1,1,1,1", "model.base=8",
+              f"run.out_dir={out_dir}"] + TINY, tmp_path)
+    summaries = list(out_dir.glob("*/summary.json"))
+    assert len(summaries) == 1
+    s = json.loads(summaries[0].read_text())
+    assert len(s["history"]) == 2
+    # the point-cloud Chamfer loss and all four adversarial branches ran
+    for rec in s["history"]:
+        for k in ("seg_s", "loss_point", "loss_adv", "loss_adv_aux",
+                  "loss_adv_ent", "loss_adv_point"):
+            assert k in rec and np.isfinite(rec[k]), k
+    assert s["test"] is not None
+
+
+@pytest.mark.slow
+def test_train_ddfseg_cli_on_mini_mscmrseg(tmp_path):
+    """scripts/train_DDFSeg.py (slim widths) on the MS-CMRSeg PNG tree:
+    the disentangled cycle pipeline — three PatchGANs, cross-domain
+    translation, cycle/zero losses, recon-seg branch — through the real
+    CLI (reference train_DDFSeg.py -> Trainer_DDFSeg.py:84-99
+    prepare_dataset + the TF-port training loop)."""
+    out_dir = tmp_path / "runs"
+    _run_cli("train_DDFSeg.py",
+             [f"data.data_dir={FIX / 'mini_mscmrseg'}", "data.dataset=mscmrseg",
+              "ddfseg.filters=4", "ddfseg.style_filters=4", "ddfseg.ngf=8",
+              "ddfseg.slim=true", f"run.out_dir={out_dir}"] + TINY, tmp_path)
+    summaries = list(out_dir.glob("*/summary.json"))
+    assert len(summaries) == 1
+    s = json.loads(summaries[0].read_text())
+    assert len(s["history"]) == 2
+    for rec in s["history"]:
+        for k in ("seg_s", "seg_fake_st", "zero_loss_s", "zero_loss_t"):
+            assert k in rec and np.isfinite(rec[k]), k
+    assert s["test"] is not None

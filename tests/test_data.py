@@ -220,6 +220,31 @@ def test_mmwhs_png_rng_reproducible(tmp_path, rng):
     assert not np.array_equal(grab(0), grab(1))
 
 
+def test_mmwhs_png_vert_loading(tmp_path):
+    """vert=True loads the precomputed vert{MOD}/*.npy point clouds
+    (reference data_generator_mmwhs.py:48-49,129-131) from the committed
+    mini PNG tree, and a missing cloud fails loudly at construction."""
+    from pathlib import Path
+    import cv2
+    from slcl_tpu.data.mmwhs import MMWHSPngDataset
+    fix = Path(__file__).parent / "fixtures" / "mini_mmwhs_png"
+    ds = MMWHSPngDataset(str(fix), "ct", "s", fold=0, crop=64, vert=True)
+    assert len(ds) > 0
+    img, mask, verts, name = ds[0]
+    assert img.shape == (64, 64, 3) and mask.shape == (64, 64)
+    assert verts.shape == (300, 3) and verts.dtype == np.float32
+    assert 0.0 <= verts.min() and verts.max() <= 1.0
+    # class channel carries the {1,2,3}/3 labels
+    assert set(np.round(verts[:, 2] * 3).astype(int)) <= {1, 2, 3}
+    # a tree with images but no vert files fails at construction,
+    # not mid-epoch
+    (tmp_path / "trainA").mkdir()
+    cv2.imwrite(str(tmp_path / "trainA" / "pat_2_ct_0.png"),
+                np.zeros((40, 40), np.uint8))
+    with pytest.raises(FileNotFoundError):
+        MMWHSPngDataset(str(tmp_path), "ct", "s", fold=0, vert=True)
+
+
 def test_heavy_aug2_ops_mask_consistency(rng):
     """Every heavy_aug2 op keeps contract: shapes preserved, mask labels a
     subset of the originals, geometric ops move mask with the image
