@@ -30,8 +30,17 @@ from pathlib import Path
 import numpy as np
 
 ROOT = Path(__file__).resolve().parent.parent
-RUNS = ROOT / "runs"
 SEEDS = [0, 7, 42, 13, 99]
+
+
+def _run_dir(name: str) -> Path:
+    """Prefer the live runs/ tree; fall back to the committed evidence
+    snapshot (tools/collect_evidence.py) so the analysis reproduces after
+    a host migration wipes the untracked runs/."""
+    live = ROOT / "runs" / name
+    if live.is_dir():
+        return live
+    return ROOT / "examples" / "evidence_r4" / name
 
 # repeat 1: committed measurements (examples/README.md, round-2/3 hosts)
 R1 = {
@@ -60,7 +69,7 @@ ORDERINGS = [
 
 
 def regen_value(method: str, seed: int):
-    d = RUNS / f"{method}_s{seed}"
+    d = _run_dir(f"{method}_s{seed}")
     vals = sorted(d.glob("*/summary.json"))
     if not vals:
         return None
@@ -107,7 +116,7 @@ def sign_test_p(diffs):
 def init_dice(method: str, seed: int):
     """The epoch -1 warm-start init eval (run.init_from protocol) from the
     run's history — the AdvEnt-inherited floor of the best-selection."""
-    d = RUNS / f"{method}_s{seed}"
+    d = _run_dir(f"{method}_s{seed}")
     vals = sorted(d.glob("*/summary.json"))
     if not vals:
         return None

@@ -36,6 +36,12 @@ KEYS = ["val_dice", "seg_s", "seg_style", "loss_consist", "style_hist_d",
 def load(run_dir: Path):
     logs = sorted(run_dir.glob("*/log.jsonl"))
     if not logs:
+        # fall back to the committed evidence snapshot (collect_evidence.py)
+        alt = ROOT / "examples" / "evidence_r4" / run_dir.relative_to(
+            ROOT / "runs") if (ROOT / "runs") in run_dir.parents else None
+        if alt is not None:
+            logs = sorted(alt.glob("*/log.jsonl"))
+    if not logs:
         sys.exit(f"no log.jsonl under {run_dir}")
     recs = [json.loads(l) for l in logs[0].read_text().splitlines() if l.strip()]
     return [r for r in recs if "epoch" in r]
