@@ -29,27 +29,18 @@ from pathlib import Path
 
 import numpy as np
 
-ROOT = Path(__file__).resolve().parent.parent
+from evidence_lib import ROOT, run_dir as _run_dir  # noqa: F401 (shared resolver:
+# live runs/ takes precedence over the committed snapshot, falling back when
+# the live dir is absent OR has produced no summary.json yet — ADVICE r4)
+
 SEEDS = [0, 7, 42, 13, 99]
 
-
-def _run_dir(name: str) -> Path:
-    """Prefer the live runs/ tree; fall back to the committed evidence
-    snapshot (tools/collect_evidence.py) so the analysis reproduces after
-    a host migration wipes the untracked runs/."""
-    live = ROOT / "runs" / name
-    if live.is_dir():
-        return live
-    return ROOT / "examples" / "evidence_r4" / name
-
-# repeat 1: committed measurements (examples/README.md, round-2/3 hosts)
-R1 = {
-    "baseline": {0: 0.314, 7: 0.267, 42: 0.637, 13: 0.243, 99: 0.168},
-    "advent": {0: 0.753, 7: 0.689, 42: 0.747, 13: 0.623, 99: 0.461},
-    "mpscl_final": {0: 0.763, 7: 0.772, 42: 0.747, 13: 0.623, 99: 0.461},
-    "mccl": {0: 0.639, 7: 0.709, 42: 0.680, 13: 0.724, 99: 0.552},
-    "mcclrain_epsclip": {0: 0.783, 7: 0.731, 42: 0.695, 13: 0.688, 99: 0.690},
-}
+# repeat 1: the committed round-2/3 measurements, loaded from a tracked
+# artifact so every README number is derivable from committed files
+# (VERDICT r4 #7); see the file's provenance field.
+_R2R3 = json.loads((ROOT / "examples" / "evidence_r2r3.json").read_text())
+R1 = {m: {int(s): float(v) for s, v in cells.items()}
+      for m, cells in _R2R3["cells"].items()}
 LABEL = {
     "baseline": "baseline (source-only)",
     "advent": "AdvEnt",

@@ -21,11 +21,10 @@ Defaults: runs/mcclrain_epsclip_s13 vs runs/mcclrain_epsclip_s0.
 """
 import json
 import sys
-from pathlib import Path
 
 import numpy as np
 
-ROOT = Path(__file__).resolve().parent.parent
+from evidence_lib import run_dir as _run_dir
 
 KEYS = ["val_dice", "seg_s", "seg_style", "loss_consist", "style_hist_d",
         "style_mean", "style_std", "src_mean", "sampling_norm",
@@ -33,16 +32,13 @@ KEYS = ["val_dice", "seg_s", "seg_style", "loss_consist", "style_hist_d",
         "dice_src_c1", "dice_src_c2", "dice_src_c3"]
 
 
-def load(run_dir: Path):
-    logs = sorted(run_dir.glob("*/log.jsonl"))
+def load(run_ref):
+    # shared resolver: live runs/ preferred, committed snapshot fallback;
+    # accepts bare names, runs/-relative, or absolute paths (ADVICE r4)
+    d = _run_dir(run_ref, marker="*/log.jsonl")
+    logs = sorted(d.glob("*/log.jsonl"))
     if not logs:
-        # fall back to the committed evidence snapshot (collect_evidence.py)
-        alt = ROOT / "examples" / "evidence_r4" / run_dir.relative_to(
-            ROOT / "runs") if (ROOT / "runs") in run_dir.parents else None
-        if alt is not None:
-            logs = sorted(alt.glob("*/log.jsonl"))
-    if not logs:
-        sys.exit(f"no log.jsonl under {run_dir}")
+        sys.exit(f"no log.jsonl under {d}")
     recs = [json.loads(l) for l in logs[0].read_text().splitlines() if l.strip()]
     return [r for r in recs if "epoch" in r]
 
@@ -80,13 +76,11 @@ def summarize(bad, good):
 
 
 def main():
-    bad = ROOT / (sys.argv[1] if len(sys.argv) > 1
-                  else "runs/mcclrain_epsclip_s13")
-    good = ROOT / (sys.argv[2] if len(sys.argv) > 2
-                   else "runs/mcclrain_epsclip_s0")
+    bad = sys.argv[1] if len(sys.argv) > 1 else "mcclrain_epsclip_s13"
+    good = sys.argv[2] if len(sys.argv) > 2 else "mcclrain_epsclip_s0"
     rb, rg = load(bad), load(good)
-    table(rb, f"bad seed: {bad.name}")
-    table(rg, f"good seed: {good.name}")
+    table(rb, f"bad seed: {_run_dir(bad, marker='*/log.jsonl').name}")
+    table(rg, f"good seed: {_run_dir(good, marker='*/log.jsonl').name}")
     summarize(rb, rg)
 
 
