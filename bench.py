@@ -123,10 +123,12 @@ def main():
 
     # ---- second path: MCCL (the paper-proper soft-label + rMC method) ----
     mccl_img_s = _bench_mccl(iters=max(10, iters // 2))
+    # ---- third path: MCCL+RAIN+eps (the headline co-train recipe) --------
+    mcclrain_img_s = _bench_mccl(iters=max(10, iters // 2), rain=True)
 
-    # perf-regression floors (PERF.md ablation rows: 148 MPSCL / 121 MCCL
-    # src-img/s steady-state; floors are de-rated 20% for host contention —
-    # tests/test_bench_guard.py asserts them on TPU)
+    # perf-regression floors (PERF.md ablation rows: 148 MPSCL / 121 MCCL /
+    # 90 MCCL+RAIN+eps src-img/s steady-state; floors are de-rated ~20% for
+    # host contention — tests/test_bench_guard.py asserts them on TPU)
     print(json.dumps({
         "metric": "SLCL train throughput (src imgs/sec/chip, bs16 224x224)",
         "value": round(img_s, 2),
@@ -135,18 +137,27 @@ def main():
         "plain_step_img_s": round(B / dt_plain, 2),
         "scan8_img_s": round(B / dt_scan, 2),
         "mccl_img_s": round(mccl_img_s, 2),
-        "regression_ok": bool(img_s >= 120.0 and mccl_img_s >= 95.0),
+        "mcclrain_img_s": round(mcclrain_img_s, 2),
+        "regression_ok": bool(img_s >= 120.0 and mccl_img_s >= 95.0
+                              and mcclrain_img_s >= 72.0),
         "ref_p100_speed_of_light_img_s": round(ref_upper_img_s, 2),
         "flops_per_source_image": flops_per_src_img,
     }))
 
 
-def _bench_mccl(iters: int = 25) -> float:
+def _bench_mccl(iters: int = 25, rain: bool = False) -> float:
     """MCCL train step at the paper recipe (train_MCCL.py:35-48 presets:
     soft centroids, rMC P=2, CNR, phead, aug_counter target pairs), bs16
-    224x224 — src images/sec/chip with the async-dispatch protocol."""
+    224x224 — src images/sec/chip with the async-dispatch protocol.
+
+    ``rain=True`` prices the headline co-train recipe instead
+    (Trainer_MCCL.py:196-244): RAIN stylization of the source batch, the
+    stylized seg branch + bottleneck consistency, and the vjp epsilon
+    ascent (eps_iters=2, clip=3) on the carried sampling state. RAIN nets
+    are random-init — throughput, not style quality, is being measured."""
     import time as _time
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -158,6 +169,11 @@ def _bench_mccl(iters: int = 25) -> float:
     cfg = Config()
     cfg.method = "mccl"
     cfg = apply_recipe(cfg)
+    if rain:
+        cfg.rain.enabled = True
+        cfg.rain.update_eps = True
+        cfg.rain.eps_iters = 2
+        cfg.rain.eps_clip = 3.0
     B, H = cfg.data.bs, cfg.data.crop
     model = build_segmentor(cfg.model)
     # seed (C,F) centroids exactly as the trainer does — without them the
@@ -165,7 +181,16 @@ def _bench_mccl(iters: int = 25) -> float:
     state, txs = create_train_state(
         cfg, model, sample_shape=(1, H, H, 3),
         centroids=jnp.zeros((4, cfg.model.filters), jnp.float32))
-    step = build_step(cfg, model, txs, None, None)
+    rain_model = None
+    if rain:
+        from slcl_tpu.models.rain import RAIN
+        rain_model = RAIN()
+        x0 = jnp.zeros((1, H, H, 3), jnp.float32)
+        rv = rain_model.init({"params": jax.random.PRNGKey(7),
+                              "noise": jax.random.PRNGKey(8)}, x0, x0)
+        state = state.replace(extra={"rain": rv["params"]},
+                              sampling=jnp.zeros((1, 512), jnp.float32))
+    step = build_step(cfg, model, txs, None, None, rain_model=rain_model)
 
     rng = np.random.default_rng(1)
     batch = {
@@ -175,7 +200,10 @@ def _bench_mccl(iters: int = 25) -> float:
         "img_t_aug": jnp.asarray(rng.normal(size=(B, H, H, 3)).astype(np.float32)),
     }
     sched = {"lr": jnp.asarray(8e-4), "lr_dis": jnp.asarray(1e-4),
-             "warm": jnp.asarray(1.0)}
+             "warm": jnp.asarray(1.0),
+             # steady-state flags: sampling carried (fresh only on a
+             # trainer epoch's first batch), eps ascent engaged post-warmup
+             "fresh": jnp.asarray(0.0), "eps_on": jnp.asarray(1.0 if rain else 0.0)}
     for _ in range(6):
         state, metrics = step(state, batch, sched)
     _ = float(metrics["seg_s"])

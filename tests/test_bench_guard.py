@@ -1,8 +1,9 @@
 """Perf-regression guard (PERF.md ablation rows).
 
 The steady-state single-chip floors — MPSCL >= 120 src-img/s, MCCL >= 95
-src-img/s (measured 148 / 121, de-rated 20% for host contention) — are
-asserted by running the real ``bench.py`` on the TPU. Opt-in because the
+src-img/s, MCCL+RAIN+eps >= 72 src-img/s (measured 148 / 121 / 90,
+de-rated ~20% for host contention) — are asserted by running the real
+``bench.py`` on the TPU. Opt-in because the
 CI suite runs on virtual CPU devices (conftest forces JAX_PLATFORMS=cpu
 in-process, so the check must run in a subprocess with the axon plugin):
 
@@ -34,4 +35,6 @@ def test_bench_floors():
     res = json.loads(line)
     assert res["value"] >= 120.0, f"MPSCL throughput regressed: {res}"
     assert res["mccl_img_s"] >= 95.0, f"MCCL throughput regressed: {res}"
+    assert res["mcclrain_img_s"] >= 72.0, \
+        f"MCCL+RAIN+eps throughput regressed: {res}"
     assert res["regression_ok"]

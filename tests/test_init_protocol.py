@@ -199,6 +199,40 @@ def test_rain_eps_clip_bounds_step(tmp_path):
     assert float(m0["eps_step_norm"]) > float(m1["eps_step_norm"])
 
 
+def test_rain_style_alpha_blend_and_consistency(tmp_path):
+    """rain.style_alpha blends the stylized branch toward the source
+    content: img_style <- alpha*stylized + (1-alpha)*img_s (steps.py mccl
+    rain branch). At alpha=0 the stylized row IS the source row, so the
+    style-shift diagnostic (style_hist_d) and the bottleneck-consistency
+    MSE both collapse to exactly 0 (identical rows through shared BN
+    stats); alpha=0.5 must sit strictly between that and the
+    reference-exact alpha=1 on both — the knob softens the style shift
+    AND shrinks the stylized-vs-source gap the consistency loss measures,
+    proportionally, instead of disabling the branch."""
+    from slcl_tpu.train.trainer import Trainer
+    cfg = tiny_cfg(tmp_path / "pre", method="pretrain_rain", epochs=1)
+    ckpts = Trainer(cfg).train()["component_ckpts"]
+
+    def run(alpha, path):
+        c = tiny_cfg(path, method="mccl", epochs=1)
+        c.rain.enabled = True
+        c.rain.style_alpha = alpha
+        c.rain.vgg_ckpt = ckpts["encoder"]
+        c.rain.decoder_ckpt = ckpts["decoder"]
+        c.rain.fc_encoder_ckpt = ckpts["fc_encoder"]
+        c.rain.fc_decoder_ckpt = ckpts["fc_decoder"]
+        m = Trainer(c).train_epoch(0)
+        return float(m["style_hist_d"]), float(m["loss_consist"])
+
+    h0, c0 = run(0.0, tmp_path / "a0")
+    h5, c5 = run(0.5, tmp_path / "a5")
+    h1, c1 = run(1.0, tmp_path / "a1")
+    assert h0 == pytest.approx(0.0, abs=1e-6)
+    assert c0 == pytest.approx(0.0, abs=1e-8)
+    assert h0 < h5 < h1, (h0, h5, h1)
+    assert c0 < c5 < c1, (c0, c5, c1)
+
+
 def test_clip_step_norm_sanitizes_nonfinite():
     """The clamp must stay finite when the unbounded ascent step overflows:
     naive v*min(1, clip/||v||) gives inf*0=NaN exactly in the blow-up
