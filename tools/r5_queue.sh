@@ -32,7 +32,12 @@ rain.fc_encoder_ckpt=$RD/rain_fc_encoder.npz \
 rain.fc_decoder_ckpt=$RD/rain_fc_decoder.npz"
 
 pause_gate() { while [ -f /tmp/r5_pause ]; do
-  echo "[paused $(date +%H:%M:%S)] /tmp/r5_pause present"; sleep 30; done; }
+  echo "[paused $(date +%H:%M:%S)] /tmp/r5_pause present"; sleep 30; done
+  # don't start a step into a known-dead TPU tunnel (the 2026-08-20 outage
+  # burned a step timeout per attempt): wait while the background probe's
+  # last line says DOWN; a stale/absent status file does not block.
+  while tail -1 /tmp/tpu_status 2>/dev/null | grep -q DOWN; do
+    echo "[tpu down $(date +%H:%M:%S)] holding queue"; sleep 60; done; }
 run2() { local t=$1; shift; timeout "$t" "$@" && return 0
   echo "RETRY (rc=$?): $*"; sleep 10; timeout "$t" "$@"; }
 step() { pause_gate; echo; echo "=== [$(date +%H:%M:%S)] $* ==="; }
