@@ -49,7 +49,11 @@ train_step() { local d=$1 a=$2 t=$3; shift 3
   ev; }
 
 # ---- stage 1: MPSCL chains, remaining seeds ------------------------------
-for S in 13 0 42 99; do
+# (function so the 2026-08-20 migration recovery can interleave: the seed-13
+# chain runs first, then the RAIN block — the round's only shot at the s13
+# root cause — then the remaining chains; a linear 4-chain stage 1 would
+# starve stages 2-4 of the round's TPU hours)
+chain_seed() { local S=$1
   BASE="data.dataset=synthetic data.gap=0.5 optim.optimizer=adam \
 run.eval_frequency=1 run.seed=$S data.seed=$S"
   ADIR=runs/advent_s$S/advent.synthetic.f0s0.drunet.bs16.lr0.002
@@ -59,11 +63,11 @@ run.eval_frequency=1 run.seed=$S data.seed=$S"
     optim.epochs=30 adv.w_dis=2e-4 run.out_dir=runs/advent_s$S
   step "seed $S: class centers"
   if [ ! -d "$ADIR/ckpt_best" ]; then
-    echo "ABORT seed $S chain: no AdvEnt ckpt"; FAIL=1; continue
+    echo "ABORT seed $S chain: no AdvEnt ckpt"; FAIL=1; return 1
   elif [ ! -f runs/advent_s$S/centers.npy ]; then
     run2 1200 python scripts/gen_class_centers.py method=baseline $BASE \
       run.restore_from=$ADIR/ckpt_best out=runs/advent_s$S/centers.npy \
-      || { echo "FAILED: centers seed $S"; FAIL=1; continue; }
+      || { echo "FAILED: centers seed $S"; FAIL=1; return 1; }
     ev
   fi
   MP="method=mpscl $BASE optim.lr=2e-4 optim.lr_warmup_epochs=5 \
@@ -76,7 +80,9 @@ contrastive.init_centers=runs/advent_s$S/centers.npy"
   train_step runs/mpscl_w0_s$S $MPSCL_APDX 2700 \
     python scripts/train.py $MP contrastive.w_mpcl_s=0.0 \
     contrastive.w_mpcl_t=0.0 run.out_dir=runs/mpscl_w0_s$S
-done
+}
+
+chain_seed 13  # regressing RAIN seed: doubles as repeat-2 + w_mpcl pair
 
 # ---- stage 2: shared RAIN pretrain ----------------------------------------
 step "shared RAIN pretrain (40 ep, seed 0)"
@@ -114,6 +120,9 @@ run.eval_frequency=1 run.seed=13 data.seed=13"
 else
   echo "SKIP stages 3-4: no RAIN pretrain"; FAIL=1
 fi
+
+# ---- stage 1 (cont.): remaining MPSCL chains ------------------------------
+for S in 0 42 99; do chain_seed $S; done
 
 # ---- stage 5: plain MCCL repeats ------------------------------------------
 for S in 13 7 42 99 0; do
