@@ -75,6 +75,30 @@ def summarize(bad, good):
         print(f"| {k} | {bm:.3f} | {gm:.3f} | {ratio:.2f} |")
 
 
+def trigger_check(recs, label, first_epochs=6, style_floor=0.05,
+                  src_ceiling=0.85):
+    """The round-5 trigger rule (examples/README.md "Round-5 root cause"):
+    a stylized-branch class dice pinned ~0 through the first epochs while
+    the source branch saturates means the stylized view of that class is
+    unlearnable at the current strength — the run is at risk of the s13
+    source-overfit collapse (0.410 vs 0.727 with rain.style_alpha=0.5)."""
+    early = [r for r in recs if 0 < r.get("epoch", -1) < first_epochs]
+    if not early:
+        return
+    for c in (1, 2, 3):
+        sty = [r.get(f"dice_style_c{c}") for r in early]
+        src = [r.get(f"dice_src_c{c}") for r in early]
+        if None in sty or None in src:
+            continue
+        if max(sty) < style_floor and max(src) > src_ceiling:
+            print(f"\nTRIGGER [{label}]: dice_style_c{c} <= "
+                  f"{max(sty):.3f} while dice_src_c{c} reaches "
+                  f"{max(src):.3f} over epochs 1-{first_epochs - 1} — "
+                  "stylized view of this class is unlearnable; set "
+                  "rain.style_alpha=0.5 (or lower) or use the staged "
+                  "fine-tune protocol.")
+
+
 def main():
     bad = sys.argv[1] if len(sys.argv) > 1 else "mcclrain_epsclip_s13"
     good = sys.argv[2] if len(sys.argv) > 2 else "mcclrain_epsclip_s0"
@@ -82,6 +106,8 @@ def main():
     table(rb, f"bad seed: {_run_dir(bad, marker='*/log.jsonl').name}")
     table(rg, f"good seed: {_run_dir(good, marker='*/log.jsonl').name}")
     summarize(rb, rg)
+    for recs, ref in ((rb, bad), (rg, good)):
+        trigger_check(recs, _run_dir(ref, marker="*/log.jsonl").name)
 
 
 if __name__ == "__main__":
