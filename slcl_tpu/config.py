@@ -252,10 +252,11 @@ class RAINConfig:
     # behavior, >0 clamps (see examples/README.md, RAIN+eps diagnosis)
     eps_clip: float = 0.0
     # stylization strength: img_style <- alpha*stylized + (1-alpha)*content.
-    # 1.0 is reference-exact (full AdaIN restyling). <1 is a repair knob for
-    # seeds where the stylized branch itself degrades target dice (r4
-    # stylized-branch diagnostics) — softens the style shift w/o removing
-    # the augmentation.
+    # 1.0 is reference-exact (full AdaIN restyling). 0.5 is the validated
+    # repair when the co-train shows the unlearnable-stylized-class
+    # signature (trainer warns at epoch 5; s13 paired arm: 0.410 -> 0.727,
+    # examples/README.md 'Round-5 root cause') — softens the style shift
+    # w/o removing the augmentation.
     style_alpha: float = 1.0
     consist_w: float = 2e-3
     mulstyle: bool = False

@@ -31,6 +31,44 @@ from .steps import build_step
 _ADVERSARIAL = ("adaptseg", "advent", "mpscl", "slcl")
 
 
+def stylized_branch_triggers(history, first_epochs: int = 6,
+                             style_floor: float = 0.05,
+                             src_ceiling: float = 0.85):
+    """Detect the unlearnable-stylized-class collapse signature (round-5
+    root cause of the seed-13 MCCL+RAIN co-train regression, documented in
+    examples/README.md): a stylized-branch class dice pinned ~0 through the
+    first training epochs while the source branch saturates means the
+    RAIN-stylized view of that class is too far for the net to fit — the
+    run resolves the conflict by overfitting the source domain and target
+    dice collapses (observed 0.410 vs 0.727 with ``rain.style_alpha=0.5``).
+
+    ``history`` is the trainer's per-epoch record list (the diagnostics are
+    logged by ``make_mccl_step`` when RAIN is enabled). Returns one warning
+    string per triggered class; empty when healthy or not applicable.
+    Mirrors ``tools/rain_diag.py::trigger_check`` for offline logs.
+    """
+    early = [r for r in history if 0 < r.get("epoch", -1) < first_epochs]
+    if len(early) < first_epochs - 1:
+        return []
+    out = []
+    for c in (1, 2, 3):
+        sty = [r.get(f"dice_style_c{c}") for r in early]
+        src = [r.get(f"dice_src_c{c}") for r in early]
+        if any(v is None for v in sty + src):
+            continue
+        if max(sty) < style_floor and max(src) > src_ceiling:
+            out.append(
+                f"stylized-branch warning: dice_style_c{c} never exceeded "
+                f"{max(sty):.3f} over epochs 1-{first_epochs - 1} while "
+                f"dice_src_c{c} reached {max(src):.3f} — the stylized view "
+                "of this class is unlearnable at the current strength and "
+                "the run is at risk of source-overfit collapse; set "
+                "rain.style_alpha=0.5 (or lower) or fine-tune from a "
+                "converged plain-MCCL checkpoint (examples/README.md, "
+                "'Round-5 root cause').")
+    return out
+
+
 def dataclasses_replace_fold(cfg: Config) -> Config:
     """Copy of ``cfg`` pointing at the other MMWHS cross-validation fold
     (the baseline's final test covers both folds, Trainer_baseline.py:308-339)."""
@@ -832,6 +870,11 @@ class Trainer:
             epoch_time = time.time() - t0
             record["epoch_time_s"] = round(epoch_time, 3)
             self.history.append(record)
+            if epoch == 5 and "dice_style_c1" in record:
+                # the early window is complete: check the RAIN co-train for
+                # the unlearnable-stylized-class collapse signature
+                for w in stylized_branch_triggers(self.history):
+                    print(f"[{self.apdx}] {w}")
             tb.scalars(record, epoch + 1)
             with open(log_path, "a") as f:
                 f.write(json.dumps(record) + "\n")

@@ -265,3 +265,43 @@ def test_evalT_logs_test_dice(tmp_path):
     t.train()
     rec = t.history[-1]
     assert "val_dice" in rec and "test_dice" in rec
+
+
+def test_stylized_branch_trigger_detection():
+    """The round-5 collapse signature (examples/README.md 'Round-5 root
+    cause'): a stylized-branch class dice pinned ~0 over the early epochs
+    while the source branch saturates must warn; a late recovery, a
+    not-yet-saturated source branch (the style_alpha=0.5 pattern), or a
+    run without RAIN diagnostics must not."""
+    from slcl_tpu.train.trainer import stylized_branch_triggers
+
+    def hist(style_c3, src_c3):
+        return [{"epoch": e,
+                 "dice_style_c1": 0.5, "dice_style_c2": 0.5,
+                 "dice_style_c3": style_c3[e],
+                 "dice_src_c1": 0.9, "dice_src_c2": 0.9,
+                 "dice_src_c3": src_c3[e]} for e in range(6)]
+
+    # mcclrain_epsclip_s13 pattern: style c3 ~0, source saturates -> fires
+    bad = hist([0.02, 0.003, 0.0, 0.0, 0.0, 0.0],
+               [0.06, 0.12, 0.49, 0.75, 0.83, 0.86])
+    ws = stylized_branch_triggers(bad)
+    assert len(ws) == 1 and "dice_style_c3" in ws[0]
+
+    # healthy (mcclrain_epsclip_s0 pattern): style c3 learnable -> silent
+    good = hist([0.06, 0.14, 0.44, 0.25, 0.22, 0.42],
+                [0.07, 0.28, 0.27, 0.20, 0.34, 0.66])
+    assert stylized_branch_triggers(good) == []
+
+    # mcclrain_alpha_s13 pattern: style c3 pinned early but the source
+    # branch has not saturated either -> silent (run recovered to 0.727)
+    alpha = hist([0.03, 0.0, 0.0, 0.0, 0.02, 0.27],
+                 [0.12, 0.27, 0.55, 0.51, 0.50, 0.61])
+    assert stylized_branch_triggers(alpha) == []
+
+    # plain MCCL (no RAIN diagnostics logged) -> silent
+    plain = [{"epoch": e, "val_dice": 0.5} for e in range(6)]
+    assert stylized_branch_triggers(plain) == []
+
+    # incomplete early window (run just started) -> silent
+    assert stylized_branch_triggers(bad[:3]) == []
